@@ -1,0 +1,11 @@
+"""Test configuration: force an 8-device virtual CPU platform so multi-chip
+sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
