@@ -1,0 +1,221 @@
+"""TPU-native compacted-dBG junction enumeration (the TwoPaCo stage).
+
+Design (not a translation): instead of TwoPaCo's two-pass Bloom-filter +
+hash-table candidate confirmation (a RAM-saving device), we use an *exact*
+sort-based formulation that maps onto XLA primitives:
+
+  1. all chromosomes are concatenated with one separator char, encoded to
+     2-bit codes on device,
+  2. forward and reverse-complement k-mer integer codes for every position
+     are built with a logarithmic doubling scheme (O(log k) shifted adds on
+     the VPU — no sequential scan),
+  3. canonical code = min(fwd, rc); a single stable 64-bit sort groups all
+     occurrences of a vertex while preserving first-occurrence order,
+  4. per-class junction predicates (>=2 distinct out- or in-extensions, or a
+     run-boundary occurrence) are computed with segmented maxima,
+  5. results scatter back to genome order; the host compacts the fixed-shape
+     masks into .dbg-style records.
+
+Semantics contract: identical output to graph/oracle.py (tested), which in
+turn mirrors the reference stream contract (common/junctionapi.h).
+
+The heavy stages (2)-(4) are one fused XLA program; multi-chip sharding of
+stage (2) with (k-1)-halo exchange lives in sibeliaz_tpu/parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sibeliaz_tpu.core import alphabet
+from sibeliaz_tpu.io.dbg import JunctionChr
+
+# Sentinel used for "no extension" (run/sequence boundary).
+_NO_EXT = 4
+# Canonical code sentinel for invalid windows; sorts after all real codes.
+_INVALID_CANON = jnp.int64(2**62)
+
+
+def _doubling_codes(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward and reverse-complement k-mer codes for every position.
+
+    codes: int64 array with values in [0,3] (invalid positions may hold
+    garbage in [0,3]; validity is tracked separately by the caller).
+    Returns (fwd, rc) where fwd[p] encodes codes[p:p+k] big-endian base-4 and
+    rc[p] encodes the reverse complement of that window.
+
+    Doubling scheme: f_m[i] = value of window [i, i+m); f_{2m}[i] =
+    f_m[i]*4^m + f_m[i+m]; windows are combined per set bit of k.  All ops
+    are elementwise shifts/adds on the VPU, O(log k) passes over HBM.
+    """
+    n = codes.shape[0]
+    f = codes  # window size 1
+    r = 3 - codes  # rc window size 1 (complement; reversal is in the combine)
+    # Precompute power-of-two window values.
+    fs = {1: f}
+    rs = {1: r}
+    m = 1
+    while m * 2 <= k:
+        fm, rm = fs[m], rs[m]
+        shifted_f = jnp.roll(fm, -m)
+        shifted_r = jnp.roll(rm, -m)
+        fs[2 * m] = (fm << (2 * m)) + shifted_f
+        # rc of window [i, i+2m) = rc([i+m, i+2m)) concat rc([i, i+m)) where
+        # each half's rc is little-endian of complements:
+        # r_{2m}[i] = r_m[i] + r_m[i+m] << (2m)
+        rs[2 * m] = rm + (shifted_r << (2 * m))
+        m *= 2
+    # Combine per binary decomposition of k, most significant block first.
+    fwd = None
+    rc = None
+    consumed = 0
+    for bit in reversed(range(k.bit_length())):
+        m = 1 << bit
+        if not (k & m):
+            continue
+        fm = jnp.roll(fs[m], -consumed)
+        rm = jnp.roll(rs[m], -consumed)
+        if fwd is None:
+            fwd = fm
+            rc = rm
+        else:
+            fwd = (fwd << (2 * m)) + fm
+            # New block B sits to the RIGHT of the accumulated window A, so
+            # in the reverse complement rc(B) supplies the HIGH digits:
+            # rc(A++B) = rc(B)*4^|A| + rc(A).
+            rc = (rm << (2 * consumed)) + rc
+        consumed += m
+    return fwd, rc
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _junction_kernel(codes_u8: jnp.ndarray, k: int):
+    """Fixed-shape junction analysis over a separator-joined code array.
+
+    Returns per-position arrays:
+      is_junction_occ: bool — valid k-mer whose vertex is a junction
+      positive:        bool — forward k-mer is canonical
+      first_idx:       int64 — global index of the vertex's first occurrence
+                       (meaningful only where is_junction_occ)
+    """
+    n = codes_u8.shape[0]
+    definite = codes_u8 != alphabet.BAD_CODE
+    codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
+
+    # k-mer validity: all k chars definite — windowed sum of the indicator.
+    defc = jnp.cumsum(definite.astype(jnp.int64))
+    defc = jnp.concatenate([jnp.zeros(1, jnp.int64), defc])
+    valid = (defc[k:] - defc[:-k]) == k  # length n-k+1
+    valid = jnp.concatenate([valid, jnp.zeros(k - 1, dtype=bool)])  # pad to n
+
+    fwd, rc = _doubling_codes(codes, k)
+    positive = fwd < rc
+    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
+
+    # Extension characters (canonical orientation). next char at p+k, prev at
+    # p-1; sentinel _NO_EXT when out of range / not definite.
+    nxt_ok = jnp.roll(definite, -k)
+    idx = jnp.arange(n)
+    nxt_ok = nxt_ok & (idx + k < n)
+    prv_ok = jnp.roll(definite, 1) & (idx >= 1)
+    nxt = jnp.where(nxt_ok, jnp.roll(codes, -k), _NO_EXT)
+    prv = jnp.where(prv_ok, jnp.roll(codes, 1), _NO_EXT)
+    comp_nxt = jnp.where(nxt_ok, 3 - jnp.roll(codes, -k), _NO_EXT)
+    comp_prv = jnp.where(prv_ok, 3 - jnp.roll(codes, 1), _NO_EXT)
+    right_ext = jnp.where(positive, nxt, comp_prv)
+    left_ext = jnp.where(positive, prv, comp_nxt)
+
+    # Run boundaries: first/last valid k-mer of a maximal run.
+    prev_valid = jnp.concatenate([jnp.zeros(1, dtype=bool), valid[:-1]])
+    next_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=bool)])
+    at_boundary = valid & (~prev_valid | ~next_valid)
+
+    # Group occurrences by canonical code; stable sort keeps first-occurrence
+    # (= genome) order inside each class.
+    perm = jnp.argsort(canon, stable=True)
+    canon_s = canon[perm]
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
+    )
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int64)) - 1
+
+    def seg_max(x_sorted):
+        return jax.ops.segment_max(
+            x_sorted, seg_id, num_segments=n, indices_are_sorted=True
+        )
+
+    right_s = right_ext[perm]
+    left_s = left_ext[perm]
+    distinct_right = jnp.zeros(n, jnp.int32)
+    distinct_left = jnp.zeros(n, jnp.int32)
+    for c in range(4):
+        distinct_right += seg_max((right_s == c).astype(jnp.int32))
+        distinct_left += seg_max((left_s == c).astype(jnp.int32))
+    boundary_any = seg_max(at_boundary[perm].astype(jnp.int32)) > 0
+    junction_class = (distinct_right > 1) | (distinct_left > 1) | boundary_any
+
+    first_of_class = jax.ops.segment_min(
+        perm, seg_id, num_segments=n, indices_are_sorted=True
+    )
+
+    # Scatter class info back to genome order.
+    class_of_pos = jnp.zeros(n, jnp.int64).at[perm].set(seg_id)
+    is_junction_occ = valid & junction_class[class_of_pos]
+    first_idx = first_of_class[class_of_pos]
+    return is_junction_occ, positive, first_idx
+
+
+def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
+    """Run junction enumeration on device; return per-chromosome records."""
+    if not seqs:
+        return []
+    empty = [
+        JunctionChr(pos=np.zeros(0, np.uint32), ids=np.zeros(0, np.int64))
+        for _ in seqs
+    ]
+    lengths = [len(s) for s in seqs]
+    if sum(lengths) + len(seqs) - 1 < k:
+        return empty
+    sep = np.array([ord("N")], dtype=np.uint8)  # separator (never definite)
+    joined = np.concatenate(
+        [x for s in seqs for x in (s, sep)][:-1] if len(seqs) > 1 else [seqs[0]]
+    )
+    # Pad to a shape bucket (next power of two) so jit caches compilations
+    # across inputs; trailing 'N's are invalid windows and change nothing.
+    bucket = max(4096, 1 << (len(joined) - 1).bit_length())
+    if bucket > len(joined):
+        joined = np.concatenate(
+            [joined, np.full(bucket - len(joined), ord("N"), dtype=np.uint8)]
+        )
+    codes = alphabet.encode(joined)
+    mask, positive, first_idx = _junction_kernel(jnp.asarray(codes), k)
+    mask = np.asarray(mask)
+    positive = np.asarray(positive)
+    first_idx = np.asarray(first_idx)
+
+    jpos = np.flatnonzero(mask)
+    fidx = first_idx[jpos]
+    uniq = np.unique(fidx)  # ascending == first-occurrence order
+    ids = np.searchsorted(uniq, fidx) + 1
+    signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
+
+    # Split global positions back into chromosomes (separator widths = 1).
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    for i, L in enumerate(lengths):
+        offsets[i + 1] = offsets[i] + L + 1  # +1 separator
+    out: List[JunctionChr] = []
+    for c in range(len(seqs)):
+        lo, hi = offsets[c], offsets[c] + lengths[c]
+        m = (jpos >= lo) & (jpos < hi)
+        out.append(
+            JunctionChr(
+                pos=(jpos[m] - lo).astype(np.uint32),
+                ids=signed[m],
+            )
+        )
+    return out

@@ -1,5 +1,11 @@
-"""Test configuration: force an 8-device virtual CPU platform so multi-chip
-sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
+"""Test configuration.
+
+Forces an 8-device virtual CPU platform so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md §4).  Note the axon sitecustomize
+in this image calls jax.config.update("jax_platforms", "axon,cpu") at
+interpreter start, which overrides JAX_PLATFORMS from the environment — so we
+must override the *config* again here, before any backend is initialized.
+"""
 
 import os
 
@@ -9,3 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,119 @@
+"""Graph-construction stage: oracle sanity + TPU implementation parity."""
+
+import numpy as np
+import pytest
+
+from sibeliaz_tpu.core import alphabet
+from sibeliaz_tpu.graph import construct, oracle
+
+
+def s(x):
+    return alphabet.str_to_seq(x)
+
+
+def random_genomes(rng, n_chr, lo, hi, n_prob=0.0):
+    seqs = []
+    for _ in range(n_chr):
+        L = int(rng.integers(lo, hi))
+        codes = rng.integers(0, 4, size=L).astype(np.uint8)
+        seq = alphabet.decode(codes)
+        if n_prob:
+            mask = rng.random(L) < n_prob
+            seq[mask] = ord("N")
+        seqs.append(seq)
+    return seqs
+
+
+def mutate(rng, seq, rate):
+    seq = seq.copy()
+    pos = np.flatnonzero(rng.random(len(seq)) < rate)
+    for p in pos:
+        seq[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+    return seq
+
+
+def assert_same(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert np.array_equal(x.pos, y.pos), (x.pos, y.pos)
+        assert np.array_equal(x.ids, y.ids), (x.ids, y.ids)
+
+
+class TestOracle:
+    def test_single_sequence_ends_are_junctions(self):
+        # One chromosome, no repeats: only the two end k-mers are junctions.
+        seq = s("ACGTAGGCTCA")
+        recs = oracle.enumerate_junctions([seq], 5)
+        assert list(recs[0].pos) == [0, len(seq) - 5]
+        assert len(set(np.abs(recs[0].ids))) == 2
+
+    def test_branch_is_junction(self):
+        # Two chromosomes share a k-mer with different successors -> junction.
+        a = s("AACCGGT" + "TTACGTA")
+        b = s("AACCGGT" + "CCATGCC")
+        k = 7
+        recs = oracle.enumerate_junctions([a, b], k)
+        # the shared first k-mer AACCGGT occurs at pos 0 of both with
+        # different next chars => junction (also a run start).
+        assert 0 in recs[0].pos and 0 in recs[1].pos
+        id_a = recs[0].ids[list(recs[0].pos).index(0)]
+        id_b = recs[1].ids[list(recs[1].pos).index(0)]
+        assert id_a == id_b  # same vertex, same sign (same orientation)
+
+    def test_rc_occurrence_gets_negative_sign(self):
+        fwd = "AAACCCGGGTTTAAA"
+        seq1 = s(fwd)
+        seq2 = alphabet.reverse_complement(s(fwd))
+        k = 5
+        recs = oracle.enumerate_junctions([seq1, seq2], k)
+        # For every vertex id on chr0 there must be the mirrored id on chr1.
+        ids0 = set(recs[0].ids.tolist())
+        ids1 = set(recs[1].ids.tolist())
+        assert {-i for i in ids0} == ids1
+
+    def test_n_breaks_runs(self):
+        seq = s("ACGTACG" + "N" + "TTGCATG")
+        recs = oracle.enumerate_junctions([seq], 5)
+        # run1 valid positions 0..2, run2 valid positions 8..10
+        assert 2 in recs[0].pos  # end of run 1
+        assert 8 in recs[0].pos  # start of run 2
+        assert not np.any((recs[0].pos > 2) & (recs[0].pos < 8))
+
+
+class TestConstructParity:
+    @pytest.mark.parametrize("seed,k,n_prob", [(0, 5, 0.0), (1, 7, 0.02),
+                                               (2, 9, 0.0), (3, 15, 0.01),
+                                               (4, 25, 0.0), (5, 3, 0.05)])
+    def test_random_parity(self, seed, k, n_prob):
+        rng = np.random.default_rng(seed)
+        seqs = random_genomes(rng, 3, 50, 400, n_prob)
+        assert_same(
+            oracle.enumerate_junctions(seqs, k),
+            construct.build_junctions(seqs, k),
+        )
+
+    def test_related_genomes_parity(self):
+        # Mutated copies create realistic branching structure.
+        rng = np.random.default_rng(7)
+        base = random_genomes(rng, 2, 500, 800)[0]
+        g1 = base
+        g2 = mutate(rng, base, 0.01)
+        g3 = alphabet.reverse_complement(mutate(rng, base, 0.005))
+        k = 11
+        assert_same(
+            oracle.enumerate_junctions([g1, g2, g3], k),
+            construct.build_junctions([g1, g2, g3], k),
+        )
+
+    def test_short_input(self):
+        recs = construct.build_junctions([s("ACG")], 5)
+        assert len(recs) == 1 and len(recs[0].pos) == 0
+
+    def test_repeat_heavy_parity(self):
+        rng = np.random.default_rng(11)
+        unit = alphabet.decode(rng.integers(0, 4, size=40).astype(np.uint8))
+        seq = np.concatenate([unit] * 6 + [alphabet.reverse_complement(unit)] * 2)
+        assert_same(
+            oracle.enumerate_junctions([seq], 9),
+            construct.build_junctions([seq], 9),
+        )
