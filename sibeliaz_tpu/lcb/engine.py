@@ -1,0 +1,145 @@
+"""Native LCB engine binding.
+
+Compiles lcb/native/engine.cpp on first use (g++ -O3 -fopenmp, cached by
+mtime) and drives it through ctypes — this image has no pybind11, and the
+engine's interface is a handful of flat numpy buffers anyway, so a C ABI is
+the natural boundary (cf. SURVEY.md §2 note on native runtime components).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import List
+
+import numpy as np
+
+from sibeliaz_tpu.junctions.table import JunctionTable
+from sibeliaz_tpu.lcb.blocks import Block
+
+_SRC = os.path.join(os.path.dirname(__file__), "native", "engine.cpp")
+_LIB_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")),
+    "sibeliaz_tpu",
+)
+_LIB = os.path.join(_LIB_DIR, "libszlcb.so")
+
+_lib = None
+
+
+def _build() -> str:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    with tempfile.NamedTemporaryFile(
+        suffix=".so", dir=_LIB_DIR, delete=False
+    ) as tmp:
+        tmp_path = tmp.name
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
+        "-march=native", _SRC, "-o", tmp_path,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp_path, _LIB)
+    return _LIB
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_build())
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sz_lcb_run.restype = ctypes.c_void_p
+    lib.sz_lcb_run.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p,
+        ctypes.POINTER(ctypes.c_uint8),
+        i64p, ctypes.POINTER(ctypes.c_uint8),
+        i64p, ctypes.POINTER(ctypes.c_int32), i64p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p,
+    ]
+    lib.sz_lcb_blocks.restype = i64p
+    lib.sz_lcb_blocks.argtypes = [ctypes.c_void_p]
+    lib.sz_lcb_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _pu8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def run_native(
+    table: JunctionTable,
+    min_block_size: int,
+    max_branch_size: int,
+    max_flanking_size: int,
+    looking_depth: int = 8,
+    threads: int = 1,
+) -> List[Block]:
+    """Run the native engine; mutates table.used like the reference does."""
+    lib = _load()
+    n_chr = table.n_chr
+    chr_off = np.zeros(n_chr + 1, dtype=np.int64)
+    for c in range(n_chr):
+        chr_off[c + 1] = chr_off[c] + len(table.jpos[c])
+    jpos = (
+        np.concatenate(table.jpos) if n_chr else np.zeros(0, np.int64)
+    ).astype(np.int64)
+    jid = (
+        np.concatenate(table.jid) if n_chr else np.zeros(0, np.int64)
+    ).astype(np.int64)
+    used = (
+        np.concatenate(table.used) if n_chr else np.zeros(0, np.uint8)
+    ).astype(np.uint8)
+    seq_off = np.zeros(n_chr + 1, dtype=np.int64)
+    for c in range(n_chr):
+        seq_off[c + 1] = seq_off[c] + len(table.seqs[c])
+    seq = (
+        np.concatenate(table.seqs) if n_chr else np.zeros(0, np.uint8)
+    ).astype(np.uint8)
+    occ_off = table.occ_off.astype(np.int64)
+    occ_chr = table.occ_chr.astype(np.int32)
+    occ_idx = table.occ_idx.astype(np.int64)
+
+    n_blocks = ctypes.c_int64(0)
+    found = ctypes.c_int64(0)
+    failures = ctypes.c_int64(0)
+    handle = lib.sz_lcb_run(
+        table.k, table.n_vertices, n_chr,
+        _p64(chr_off), _p64(jpos), _p64(jid), _pu8(used),
+        _p64(seq_off), _pu8(seq),
+        _p64(occ_off),
+        occ_chr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _p64(occ_idx),
+        _pu8(table.occ_ch), _pu8(table.occ_revch),
+        min_block_size, max_branch_size, max_flanking_size,
+        looking_depth, threads,
+        ctypes.byref(n_blocks), ctypes.byref(found), ctypes.byref(failures),
+    )
+    try:
+        n = n_blocks.value
+        ptr = lib.sz_lcb_blocks(handle)
+        flat = np.ctypeslib.as_array(ptr, shape=(n * 4,)).copy() if n else np.zeros(0, np.int64)
+    finally:
+        lib.sz_lcb_free(handle)
+
+    # propagate used flags back into the table (reference mutates in place)
+    for c in range(n_chr):
+        table.used[c][:] = used[chr_off[c] : chr_off[c + 1]]
+
+    blocks = [
+        Block(int(flat[4 * i]), int(flat[4 * i + 1]), int(flat[4 * i + 2]), int(flat[4 * i + 3]))
+        for i in range(n)
+    ]
+    return blocks
