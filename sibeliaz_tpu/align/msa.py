@@ -1,0 +1,212 @@
+"""Block MSA batching and MAF assembly.
+
+Drives the native POA engine over all LCBs and writes the MAF exactly the
+way the reference pipeline's bash stage assembles it
+(SibeliaZ-LCB/sibeliaz:119-134):
+
+  * header: `##maf version=1`, a version stamp, and `# cmd=<args>`,
+  * one MAF block per LCB: blank line, `a`, then an `s` line per copy:
+    `s <name> <start> <len> <strand> <chrSize> <alignedrow>`, rows in the
+    (id, chr, start) block order; negative-strand rows carry the reverse
+    complement with start = chrSize - end (blocksfinder.h:563-574),
+  * file-level block order replicates the chunked fan-out + C-locale merge:
+    LCB group g goes to chunk g mod chunks, chunks are concatenated in
+    string-sorted name order (sibeliaz:128-131),
+  * blocks whose POA DP exceeds the memory budget are written as FASTA into
+    `<outdir>/blocks/` (the reference README documents this intent but its
+    script silently drops them, sibeliaz:69-73 — we keep them).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from sibeliaz_tpu.core import alphabet
+from sibeliaz_tpu.lcb.blocks import Block
+
+_SRC = os.path.join(os.path.dirname(__file__), "native", "poa.cpp")
+_LIB_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")),
+    "sibeliaz_tpu",
+)
+_LIB = os.path.join(_LIB_DIR, "libszpoa.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    if not (os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+        with tempfile.NamedTemporaryFile(suffix=".so", dir=_LIB_DIR, delete=False) as tmp:
+            tmp_path = tmp.name
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
+             "-march=native", _SRC, "-o", tmp_path],
+            check=True, capture_output=True,
+        )
+        os.replace(tmp_path, _LIB)
+    lib = ctypes.CDLL(_LIB)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.sz_poa_run.restype = ctypes.c_void_p
+    lib.sz_poa_run.argtypes = [u8p, i64p, i64p, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.sz_poa_block_bytes.restype = ctypes.c_int64
+    lib.sz_poa_block_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.sz_poa_block_rows.restype = u8p
+    lib.sz_poa_block_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.sz_poa_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def poa_msa_batch(
+    blocks_seqs: Sequence[Sequence[np.ndarray]],
+    threads: int = 1,
+    budget_bytes: int = 2 << 30,
+) -> List[List[bytes] | None]:
+    """MSA per block (list of uint8 sequences); None if over budget."""
+    lib = _load()
+    flat: List[np.ndarray] = []
+    blk_off = np.zeros(len(blocks_seqs) + 1, dtype=np.int64)
+    for b, seqs in enumerate(blocks_seqs):
+        flat.extend(np.ascontiguousarray(s, dtype=np.uint8) for s in seqs)
+        blk_off[b + 1] = blk_off[b] + len(seqs)
+    seq_off = np.zeros(len(flat) + 1, dtype=np.int64)
+    for i, s in enumerate(flat):
+        seq_off[i + 1] = seq_off[i] + len(s)
+    data = (
+        np.concatenate(flat) if flat else np.zeros(0, np.uint8)
+    ).astype(np.uint8)
+    widths = np.zeros(len(blocks_seqs), dtype=np.int64)
+    h = lib.sz_poa_run(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blk_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(blocks_seqs), threads, budget_bytes,
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    try:
+        out: List[List[bytes] | None] = []
+        for b, seqs in enumerate(blocks_seqs):
+            w = int(widths[b])
+            if w < 0:
+                out.append(None)
+                continue
+            nbytes = lib.sz_poa_block_bytes(h, b)
+            ptr = lib.sz_poa_block_rows(h, b)
+            buf = bytes(
+                np.ctypeslib.as_array(ptr, shape=(nbytes,))
+            ) if nbytes else b""
+            rows = [buf[i * w : (i + 1) * w] for i in range(len(seqs))]
+            out.append(rows)
+    finally:
+        lib.sz_poa_free(h)
+    return out
+
+
+def block_copies(
+    blocks: Sequence[Block],
+    seqs: Sequence[np.ndarray],
+) -> List[Tuple[int, List[Block]]]:
+    """Group trimmed blocks (already (id,chr,start)-sorted) by id."""
+    groups: Dict[int, List[Block]] = {}
+    order: List[int] = []
+    for b in blocks:
+        if b.block_id not in groups:
+            groups[b.block_id] = []
+            order.append(b.block_id)
+        groups[b.block_id].append(b)
+    return [(bid, groups[bid]) for bid in sorted(order)]
+
+
+def copy_sequence(b: Block, seqs: Sequence[np.ndarray]) -> np.ndarray:
+    s = seqs[b.chr][b.start : b.end]
+    return s if b.signed_id > 0 else alphabet.reverse_complement(s)
+
+
+def maf_s_line(b: Block, name: str, chr_size: int, row: bytes) -> str:
+    if b.signed_id > 0:
+        start = b.start
+    else:
+        start = chr_size - b.end
+    strand = "+" if b.signed_id > 0 else "-"
+    return (
+        f"s {name} {start} {b.length} {strand} {chr_size} "
+        + row.decode("ascii")
+        + "\n"
+    )
+
+
+def align_blocks_to_maf(
+    blocks: Sequence[Block],
+    seqs: Sequence[np.ndarray],
+    names: Sequence[str],
+    maf_path: str,
+    cmd: str = "",
+    chunks: int = 256,
+    threads: int = 1,
+    budget_bytes: int = 2 << 30,
+    version_stamp: str = "sibeliaz v1.2.7",
+) -> List[int]:
+    """Align all LCBs and write the MAF; returns the ids of overflow blocks
+    (their copies are written to <dir>/blocks/<id>.fa)."""
+    groups = block_copies(blocks, seqs)
+    blocks_seqs = [
+        [copy_sequence(b, seqs) for b in grp] for _, grp in groups
+    ]
+    msas = poa_msa_batch(blocks_seqs, threads=threads, budget_bytes=budget_bytes)
+
+    out_dir = os.path.dirname(os.path.abspath(maf_path))
+    overflow: List[int] = []
+
+    # chunk fan-out order: group g -> chunk g % chunks; merge order = chunk
+    # names string-sorted; within a chunk, groups in ascending g.
+    n_chunks = max(1, chunks)
+    chunk_names = sorted(str(i) for i in range(n_chunks))
+    by_chunk: Dict[str, List[int]] = {cn: [] for cn in chunk_names}
+    for g in range(len(groups)):
+        by_chunk[str(g % n_chunks)].append(g)
+
+    with open(maf_path, "w") as f:
+        f.write("##maf version=1\n")
+        f.write(f"# {version_stamp} \n")
+        f.write(f"# cmd={cmd}\n")
+        for cn in chunk_names:
+            for g in by_chunk[cn]:
+                bid, grp = groups[g]
+                rows = msas[g]
+                if rows is None:
+                    overflow.append(bid)
+                    continue
+                f.write("\na\n")
+                for b, row in zip(grp, rows):
+                    f.write(
+                        maf_s_line(b, names[b.chr], len(seqs[b.chr]), row)
+                    )
+
+    if overflow:
+        from sibeliaz_tpu.io import fasta as fasta_io
+
+        bdir = os.path.join(out_dir, "blocks")
+        os.makedirs(bdir, exist_ok=True)
+        gid = {bid: grp for bid, grp in groups}
+        for bid in overflow:
+            recs = [
+                fasta_io.FastaRecord(
+                    f"{names[b.chr]};{b.start if b.signed_id > 0 else len(seqs[b.chr]) - b.end};"
+                    f"{b.length};{'+' if b.signed_id > 0 else '-'};{len(seqs[b.chr])}",
+                    copy_sequence(b, seqs),
+                )
+                for b in gid[bid]
+            ]
+            fasta_io.write_fasta(os.path.join(bdir, f"{bid}.fa"), recs)
+    return overflow

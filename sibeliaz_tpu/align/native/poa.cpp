@@ -1,0 +1,355 @@
+// Native partial-order alignment engine.
+//
+// Production twin of sibeliaz_tpu/align/poa_ref.py (the executable spec;
+// differential-tested against it).  Replaces the reference pipeline's
+// process-farm of spoa invocations (SibeliaZ-LCB/sibeliaz:65-98) with an
+// in-process, OpenMP-batched engine: one POA graph per LCB, DP with rolling
+// score rows + a uint8 direction matrix for traceback, linear -8 gaps
+// (spoa's affine model with open==extend==-8), match +5 / mismatch -4.
+//
+// Overflow policy: a per-block memory budget bounds the DP direction
+// matrix; blocks that exceed it are reported to the caller (width -1)
+// instead of silently vanishing from the MAF the way the reference's
+// spoa-OOM path does (sibeliaz:69-73).
+//
+// C ABI batch interface: all block copies arrive as one concatenated byte
+// buffer with offsets; MSA rows return the same way.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace szpoa {
+
+using i64 = int64_t;
+using u8 = uint8_t;
+
+static const i64 MATCH = 5;
+static const i64 MISMATCH = -4;
+static const i64 GAP = -8;
+static const i64 NEG = -(i64(1) << 50);
+
+// direction encoding: 0 = insertion; 1 = match from source; 2 = deletion
+// from source; even 2k+4 = deletion via pred k; odd 2k+3 = match via pred k
+static const u8 DIR_INS = 0, DIR_MATCH_SRC = 1, DIR_DEL_SRC = 2;
+static inline u8 dir_match(int k) { return u8(2 * k + 3); }
+static inline u8 dir_del(int k) { return u8(2 * k + 4); }
+
+struct Graph {
+  std::vector<u8> ch;
+  std::vector<std::vector<int>> preds, succs;
+  std::vector<int> group_of;
+  std::vector<std::vector<int>> groups;
+  std::vector<std::vector<int>> paths;
+  bool overflow = false;
+  i64 budget;
+
+  explicit Graph(i64 budget_bytes) : budget(budget_bytes) {}
+
+  int new_node(u8 c, int group) {
+    int nid = int(ch.size());
+    ch.push_back(c);
+    preds.emplace_back();
+    succs.emplace_back();
+    if (group < 0) {
+      group = int(groups.size());
+      groups.emplace_back();
+    }
+    group_of.push_back(group);
+    groups[group].push_back(nid);
+    return nid;
+  }
+
+  void add_edge(int u, int v) {
+    for (int p : preds[v])
+      if (p == u) return;
+    preds[v].push_back(u);
+    succs[u].push_back(v);
+    // the uint8 direction encoding caps pred fan-in; treat beyond as overflow
+    if (preds[v].size() > 120) overflow = true;
+  }
+
+  // group ids in topological order; ties resolved smallest-id-first
+  std::vector<int> topo_groups() const {
+    int ng = int(groups.size());
+    std::vector<int> remaining(ng, 0);
+    for (int g = 0; g < ng; g++)
+      for (int nid : groups[g]) remaining[g] += int(preds[nid].size());
+    std::priority_queue<int, std::vector<int>, std::greater<int>> ready;
+    for (int g = 0; g < ng; g++)
+      if (remaining[g] == 0) ready.push(g);
+    std::vector<int> order;
+    order.reserve(ng);
+    while (!ready.empty()) {
+      int g = ready.top();
+      ready.pop();
+      order.push_back(g);
+      for (int nid : groups[g])
+        for (int v : succs[nid]) {
+          int gv = group_of[v];
+          if (--remaining[gv] == 0) ready.push(gv);
+        }
+    }
+    return order;
+  }
+
+  void add_first(const u8* s, i64 n) {
+    int prev = -1;
+    std::vector<int> path;
+    path.reserve(n);
+    for (i64 i = 0; i < n; i++) {
+      int nid = new_node(s[i], -1);
+      if (prev >= 0) add_edge(prev, nid);
+      path.push_back(nid);
+      prev = nid;
+    }
+    paths.push_back(std::move(path));
+  }
+
+  void add_sequence(const u8* s, i64 n) {
+    if (overflow) return;
+    if (ch.empty()) {
+      add_first(s, n);
+      return;
+    }
+    // ---- topo node order ----
+    std::vector<int> gorder = topo_groups();
+    std::vector<int> topo;
+    topo.reserve(ch.size());
+    for (int g : gorder)
+      for (int nid : groups[g]) topo.push_back(nid);
+    int N = int(topo.size());
+    std::vector<int> rank(ch.size());
+    for (int r = 0; r < N; r++) rank[topo[r]] = r;
+
+    if ((n + 1) * i64(N) > budget) {
+      overflow = true;
+      return;
+    }
+
+    // ---- DP: rolling rows + direction matrix ----
+    std::vector<u8> dir((n + 1) * i64(N));
+    std::vector<i64> Hprev(N, NEG), Hcur(N, NEG);
+    auto src = [&](i64 i) { return GAP * i; };
+    for (int r = 0; r < N; r++) {
+      int nid = topo[r];
+      if (preds[nid].empty()) {
+        Hprev[r] = src(0) + GAP;
+        dir[r] = DIR_DEL_SRC;
+      } else {
+        i64 best = NEG;
+        int bk = 0;
+        const auto& ps = preds[nid];
+        for (int k = 0; k < int(ps.size()); k++) {
+          i64 v = Hprev[rank[ps[k]]];
+          if (v > best) {
+            best = v;
+            bk = k;
+          }
+        }
+        Hprev[r] = best + GAP;
+        dir[r] = dir_del(bk);
+      }
+    }
+    for (i64 i = 1; i <= n; i++) {
+      u8 c = s[i - 1];
+      u8* drow = dir.data() + i * N;
+      for (int r = 0; r < N; r++) {
+        int nid = topo[r];
+        i64 sc = ch[nid] == c ? MATCH : MISMATCH;
+        i64 diag, dele;
+        u8 dm, dd;
+        const auto& ps = preds[nid];
+        if (ps.empty()) {
+          diag = src(i - 1) + sc;
+          dele = src(i) + GAP;
+          dm = DIR_MATCH_SRC;
+          dd = DIR_DEL_SRC;
+        } else {
+          i64 bd = NEG, be = NEG;
+          int kd = 0, ke = 0;
+          for (int k = 0; k < int(ps.size()); k++) {
+            int pr = rank[ps[k]];
+            if (Hprev[pr] > bd) {
+              bd = Hprev[pr];
+              kd = k;
+            }
+            if (Hcur[pr] > be) {
+              be = Hcur[pr];
+              ke = k;
+            }
+          }
+          diag = bd + sc;
+          dele = be + GAP;
+          dm = dir_match(kd);
+          dd = dir_del(ke);
+        }
+        i64 ins = Hprev[r] + GAP;
+        // tie priority: match > deletion > insertion
+        i64 h;
+        u8 d;
+        if (diag >= dele && diag >= ins) {
+          h = diag;
+          d = dm;
+        } else if (dele >= ins) {
+          h = dele;
+          d = dd;
+        } else {
+          h = ins;
+          d = DIR_INS;
+        }
+        Hcur[r] = h;
+        drow[r] = d;
+      }
+      std::swap(Hprev, Hcur);
+    }
+    // Hprev now holds row n.
+
+    // ---- end node: sink with max score, smallest rank ----
+    int best_r = -1;
+    i64 best_sc = NEG;
+    for (int r = 0; r < N; r++)
+      if (succs[topo[r]].empty() && Hprev[r] > best_sc) {
+        best_sc = Hprev[r];
+        best_r = r;
+      }
+
+    // ---- traceback from the direction matrix ----
+    std::vector<std::pair<int, i64>> aln;
+    i64 i = n;
+    int r = best_r;
+    bool at_src = false;
+    while (i > 0 || !at_src) {
+      if (at_src) {
+        aln.push_back({-1, i - 1});
+        i--;
+        continue;
+      }
+      u8 d = dir[i * N + r];
+      int nid = topo[r];
+      if (d == DIR_INS) {
+        aln.push_back({-1, i - 1});
+        i--;
+      } else if (d == DIR_MATCH_SRC) {
+        aln.push_back({nid, i - 1});
+        i--;
+        at_src = true;
+      } else if (d == DIR_DEL_SRC) {
+        aln.push_back({nid, -1});
+        at_src = true;
+      } else if (d & 1) {  // match via pred (d-3)/2
+        aln.push_back({nid, i - 1});
+        i--;
+        r = rank[preds[nid][(d - 3) / 2]];
+      } else {  // deletion via pred (d-4)/2
+        aln.push_back({nid, -1});
+        r = rank[preds[nid][(d - 4) / 2]];
+      }
+    }
+    std::reverse(aln.begin(), aln.end());
+
+    // ---- thread into graph ----
+    int prev = -1;
+    std::vector<int> path;
+    for (auto& pr : aln) {
+      int nid = pr.first;
+      i64 pos = pr.second;
+      if (pos < 0) continue;
+      u8 c = s[pos];
+      int node;
+      if (nid >= 0) {
+        if (ch[nid] == c) {
+          node = nid;
+        } else {
+          node = -1;
+          for (int cand : groups[group_of[nid]])
+            if (ch[cand] == c) {
+              node = cand;
+              break;
+            }
+          if (node < 0) node = new_node(c, group_of[nid]);
+        }
+      } else {
+        node = new_node(c, -1);
+      }
+      if (prev >= 0) add_edge(prev, node);
+      path.push_back(node);
+      prev = node;
+    }
+    paths.push_back(std::move(path));
+  }
+
+  std::vector<std::vector<u8>> msa() const {
+    std::vector<int> order = topo_groups();
+    std::vector<int> col(groups.size());
+    for (size_t c = 0; c < order.size(); c++) col[order[c]] = int(c);
+    size_t ncols = order.size();
+    std::vector<std::vector<u8>> rows;
+    rows.reserve(paths.size());
+    for (auto& path : paths) {
+      std::vector<u8> row(ncols, '-');
+      for (int nid : path) row[col[group_of[nid]]] = ch[nid];
+      rows.push_back(std::move(row));
+    }
+    return rows;
+  }
+};
+
+}  // namespace szpoa
+
+extern "C" {
+
+// Batch MSA. Blocks are consecutive runs of sequences:
+//   block b owns sequences [blk_off[b], blk_off[b+1])
+//   sequence s spans bytes [seq_off[s], seq_off[s+1]) of `data`
+// out_width[b]: MSA width, or -1 if the block overflowed its DP budget.
+// Returns a handle; sz_poa_block_rows() yields the concatenated rows of one
+// block (row-major, in input order); sz_poa_free releases.
+void* sz_poa_run(const uint8_t* data, const int64_t* seq_off,
+                 const int64_t* blk_off, int64_t n_blocks, int64_t threads,
+                 int64_t budget_bytes, int64_t* out_width) {
+  using namespace szpoa;
+  auto* store = new std::vector<std::vector<u8>>(n_blocks);
+  if (budget_bytes <= 0) budget_bytes = i64(2) << 30;
+#ifdef _OPENMP
+  int nt = int(threads > 0 ? threads : 1);
+#pragma omp parallel for schedule(dynamic, 1) num_threads(nt)
+#endif
+  for (i64 b = 0; b < n_blocks; b++) {
+    Graph g(budget_bytes);
+    for (i64 s = blk_off[b]; s < blk_off[b + 1]; s++)
+      g.add_sequence(data + seq_off[s], seq_off[s + 1] - seq_off[s]);
+    if (g.overflow) {
+      out_width[b] = -1;
+      continue;
+    }
+    auto rows = g.msa();
+    i64 w = rows.empty() ? 0 : i64(rows[0].size());
+    out_width[b] = w;
+    std::vector<u8>& flat = (*store)[b];
+    flat.reserve(rows.size() * w);
+    for (auto& r : rows) flat.insert(flat.end(), r.begin(), r.end());
+  }
+  return store;
+}
+
+int64_t sz_poa_block_bytes(void* h, int64_t b) {
+  return int64_t(
+      (*static_cast<std::vector<std::vector<uint8_t>>*>(h))[b].size());
+}
+
+const uint8_t* sz_poa_block_rows(void* h, int64_t b) {
+  return (*static_cast<std::vector<std::vector<uint8_t>>*>(h))[b].data();
+}
+
+void sz_poa_free(void* h) {
+  delete static_cast<std::vector<std::vector<uint8_t>>*>(h);
+}
+
+}  // extern "C"

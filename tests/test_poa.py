@@ -1,0 +1,119 @@
+"""POA: spec sanity, native-engine parity, MAF assembly invariants."""
+
+import numpy as np
+import pytest
+
+from sibeliaz_tpu.align import msa as msa_mod
+from sibeliaz_tpu.align import poa_ref
+from sibeliaz_tpu.core import alphabet
+
+
+def s(x):
+    return alphabet.str_to_seq(x)
+
+
+def despell(row: bytes) -> str:
+    return row.replace(b"-", b"").decode()
+
+
+class TestPoaSpec:
+    def test_identical_sequences_no_gaps(self):
+        rows = poa_ref.poa_msa([s("ACGTACGT")] * 3)
+        assert rows == [b"ACGTACGT"] * 3
+
+    def test_rows_despell_to_inputs(self):
+        seqs = [s("ACGTACGTAA"), s("ACGTACGAA"), s("ACCTACGTAA")]
+        rows = poa_ref.poa_msa(seqs)
+        assert len({len(r) for r in rows}) == 1
+        for seq, row in zip(seqs, rows):
+            assert despell(row) == alphabet.seq_to_str(seq)
+
+    def test_single_substitution_aligns(self):
+        rows = poa_ref.poa_msa([s("AAACAAA"), s("AAAGAAA")])
+        assert rows[0] == b"AAACAAA"
+        assert rows[1] == b"AAAGAAA"
+
+    def test_deletion_gets_gap(self):
+        rows = poa_ref.poa_msa([s("AAACCTTT"), s("AAATTT")])
+        assert despell(rows[1]) == "AAATTT"
+        assert len(rows[0]) == 8
+        assert rows[1].count(b"-") == 2
+
+
+class TestNativeParity:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_parity(self, seed):
+        rng = np.random.default_rng(seed)
+        base = alphabet.decode(rng.integers(0, 4, size=60).astype(np.uint8))
+        seqs = []
+        for _ in range(int(rng.integers(2, 6))):
+            seq = base.copy()
+            for p in np.flatnonzero(rng.random(len(seq)) < 0.1):
+                seq[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+            # random indel
+            if rng.random() < 0.5:
+                cut = int(rng.integers(0, len(seq) - 5))
+                seq = np.delete(seq, slice(cut, cut + int(rng.integers(1, 4))))
+            seqs.append(seq)
+        expect = poa_ref.poa_msa(seqs)
+        got = msa_mod.poa_msa_batch([seqs])[0]
+        assert got == expect
+
+    def test_batch_multiple_blocks(self):
+        blocks = [
+            [s("ACGTACGT"), s("ACGAACGT")],
+            [s("TTTTCCCC"), s("TTTCCCC"), s("TTTTCCCC")],
+        ]
+        got = msa_mod.poa_msa_batch(blocks, threads=2)
+        for seqs, rows in zip(blocks, got):
+            for seq, row in zip(seqs, rows):
+                assert despell(row) == alphabet.seq_to_str(seq)
+
+    def test_budget_overflow_reported(self):
+        seqs = [s("ACGT" * 50), s("ACGT" * 50)]
+        got = msa_mod.poa_msa_batch([seqs], budget_bytes=100)
+        assert got[0] is None
+
+
+class TestMafAssembly:
+    def test_end_to_end_maf(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from reference_oracle import random_related_genomes
+
+        from sibeliaz_tpu.config import Config
+        from sibeliaz_tpu import pipeline
+
+        seqs, names = random_related_genomes(30, length=3000, mut=0.02,
+                                             rearrange=True)
+        cfg = Config(k=15)
+        res = pipeline.find_blocks(seqs, names, cfg, engine="native")
+        maf = tmp_path / "alignment.maf"
+        msa_mod.align_blocks_to_maf(
+            res.blocks, seqs, names, str(maf), cmd="test", threads=2
+        )
+        text = maf.read_text()
+        lines = text.splitlines()
+        assert lines[0] == "##maf version=1"
+        assert lines[2].startswith("# cmd=")
+        # validate every s line maps back to the input sequence
+        n_blocks_seen = 0
+        for line in lines:
+            if line.startswith("a"):
+                n_blocks_seen += 1
+            if not line.startswith("s "):
+                continue
+            _, name, start, ln, strand, chr_size, row = line.split(" ", 6)
+            start, ln, chr_size = int(start), int(ln), int(chr_size)
+            c = names.index(name)
+            assert chr_size == len(seqs[c])
+            ungapped = row.replace("-", "")
+            assert len(ungapped) == ln
+            if strand == "+":
+                expect = alphabet.seq_to_str(seqs[c][start : start + ln])
+            else:
+                frag = seqs[c][chr_size - start - ln : chr_size - start]
+                expect = alphabet.seq_to_str(alphabet.reverse_complement(frag))
+            assert ungapped == expect
+        assert n_blocks_seen == res.blocks_found
