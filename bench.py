@@ -1,0 +1,92 @@
+"""End-to-end benchmark: FASTA -> LCB GFF throughput in input-Mbp/s.
+
+Workload: 16 simulated bacterial-like strains (1 Mbp each, ~1% divergence,
+occasional inversions), k=15, no alignment stage — the BASELINE.md
+"16 bacterial strains at one host" configuration.
+
+Baseline anchor: the reference documents its 2-genome, ~12 Mbp example at
+"< 5 minutes on a typical machine" (/root/reference/README.md:92-93), i.e.
+0.04 Mbp/s end-to-end for twopaco + sibeliaz-lcb.  vs_baseline is measured
+throughput divided by that anchor.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MBPS = 12.0 / 300.0  # reference example anchor
+
+N_STRAINS = 16
+STRAIN_LEN = 1_000_000
+K = 15
+
+
+def make_input():
+    from sibeliaz_tpu.core import alphabet
+
+    rng = np.random.default_rng(2024)
+    base = alphabet.decode(rng.integers(0, 4, size=STRAIN_LEN).astype(np.uint8))
+    seqs, names = [], []
+    for g in range(N_STRAINS):
+        s = base.copy()
+        for p in np.flatnonzero(rng.random(STRAIN_LEN) < 0.01):
+            s[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+        if g % 3 == 1:
+            lo = int(rng.integers(0, STRAIN_LEN // 2))
+            hi = lo + int(rng.integers(STRAIN_LEN // 8, STRAIN_LEN // 4))
+            s[lo:hi] = alphabet.reverse_complement(s[lo:hi])
+        seqs.append(s)
+        names.append(f"Strain{g + 1}.Chr1")
+    return seqs, names
+
+
+def main():
+    import sibeliaz_tpu  # noqa: F401
+    from sibeliaz_tpu.config import Config
+    from sibeliaz_tpu.graph import construct
+    from sibeliaz_tpu import pipeline
+
+    seqs, names = make_input()
+    total_mbp = sum(len(s) for s in seqs) / 1e6
+    threads = min(os.cpu_count() or 1, 32)
+    cfg = Config(k=K, threads=threads)
+
+    # Warm-up: compile the junction kernel on the exact benchmark shape
+    # bucket and warm the native-engine build; not counted (steady-state
+    # throughput is the metric; compilation is cached across runs).
+    construct.build_junctions(seqs, K)
+    _ = pipeline.find_blocks(seqs[:2], names[:2], cfg, engine="native")
+
+    t0 = time.time()
+    records = construct.build_junctions(seqs, K)
+    t_graph = time.time()
+    res = pipeline.find_blocks(seqs, names, cfg, records=records, engine="native")
+    t_end = time.time()
+
+    elapsed = t_end - t0
+    mbps = total_mbp / elapsed
+    print(
+        f"[bench] input {total_mbp:.1f} Mbp | graph {t_graph - t0:.2f}s | "
+        f"lcb+out {t_end - t_graph:.2f}s | total {elapsed:.2f}s | "
+        f"blocks {res.blocks_found} | coverage {res.coverage:.3f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "lcb_end_to_end_throughput",
+                "value": round(mbps, 3),
+                "unit": "input_mbp_per_s",
+                "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

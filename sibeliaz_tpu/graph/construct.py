@@ -93,8 +93,7 @@ def _doubling_codes(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarra
     return fwd, rc
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _junction_kernel(codes_u8: jnp.ndarray, k: int):
+def junction_analysis(codes_u8: jnp.ndarray, k: int):
     """Fixed-shape junction analysis over a separator-joined code array.
 
     Returns per-position arrays:
@@ -168,6 +167,9 @@ def _junction_kernel(codes_u8: jnp.ndarray, k: int):
     is_junction_occ = valid & junction_class[class_of_pos]
     first_idx = first_of_class[class_of_pos]
     return is_junction_occ, positive, first_idx
+
+
+_junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
 
 
 def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
