@@ -1,0 +1,283 @@
+"""Coarse synteny-block construction from LCBs (maf2synteny equivalent).
+
+The reference pipeline recommends `sibeliaz -n` followed by the external
+`maf2synteny` tool to merge fine-grained LCBs into large-scale synteny
+blocks (README.md:96-112; the tool is a pinned submodule, not mounted —
+CMakeLists.txt:14-15).  This module re-designs that capability:
+
+  * genomes become signed permutations of LCB ids,
+  * a staged simplification repeatedly (a) deletes blocks shorter than the
+    stage's noise threshold from the permutations, then (b) chains pairs
+    (a, b) that are adjacent with consistent orientation in *every*
+    occurrence and separated by at most the stage's gap bound — the path
+    compression step of A-Bruijn graph simplification,
+  * surviving chains with >= 2 occurrences become synteny blocks; one
+    output set is produced per requested minimum block size, in Sibelia's
+    output formats (blocks_coords.txt, genomes_permutations.txt,
+    coverage_report.txt) for downstream compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Sequence, Tuple
+
+from sibeliaz_tpu.postprocess.maf import parse_maf
+
+# Simplification schedule mirroring maf2synteny's documented "-s fine"
+# intent: progressively larger bubble/gap bounds with noise thresholds.
+DEFAULT_STAGES = [(30, 10), (100, 100), (500, 1000), (1500, 5000), (5000, 15000)]
+
+
+@dataclasses.dataclass
+class Occ:
+    block: int  # signed id
+    chr: int
+    start: int
+    end: int
+
+    @property
+    def length(self) -> int:
+        return self.end - self.start
+
+
+def parse_gff_blocks(path: str) -> Tuple[List[Occ], List[str], List[int]]:
+    names: List[str] = []
+    sizes: List[int] = []
+    index: Dict[str, int] = {}
+    occs: List[Occ] = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("##sequence-region"):
+                _, name, _, size = line.split()
+                index[name] = len(names)
+                names.append(name)
+                sizes.append(int(size))
+                continue
+            if line.startswith("#") or not line.strip():
+                continue
+            p = line.rstrip("\n").split("\t")
+            name, start, end, strand, attr = p[0], int(p[3]), int(p[4]), p[6], p[8]
+            bid = int(attr.split("=")[1])
+            c = index[name]
+            occs.append(
+                Occ(
+                    block=bid if strand == "+" else -bid,
+                    chr=c,
+                    start=start - 1,
+                    end=end,
+                )
+            )
+    return occs, names, sizes
+
+
+def parse_maf_blocks(path: str) -> Tuple[List[Occ], List[str], List[int]]:
+    names: List[str] = []
+    sizes: List[int] = []
+    index: Dict[str, int] = {}
+    occs: List[Occ] = []
+    for bid, block in enumerate(parse_maf(path), start=1):
+        for r in block:
+            if r.seq_name not in index:
+                index[r.seq_name] = len(names)
+                names.append(r.seq_name)
+                sizes.append(r.seq_size)
+            c = index[r.seq_name]
+            s = r.pos_start()
+            occs.append(
+                Occ(
+                    block=bid if r.strand == "+" else -bid,
+                    chr=c,
+                    start=s,
+                    end=s + r.size,
+                )
+            )
+    return occs, names, sizes
+
+
+def _chain_stage(
+    perms: List[List[Occ]], max_gap: int, min_noise: int, next_id: int
+) -> Tuple[List[List[Occ]], int, bool]:
+    """One simplification stage; returns (new perms, next_id, changed)."""
+    # (a) drop noise blocks shorter than min_noise
+    pruned = [[o for o in p if o.length >= min_noise] for p in perms]
+
+    # collect adjacency stats per ordered signed pair in + reading direction
+    succ: Dict[int, set] = {}
+    pred: Dict[int, set] = {}
+    gapok: Dict[Tuple[int, int], bool] = {}
+    count: Dict[int, int] = {}
+    for p in pruned:
+        for o in p:
+            count[abs(o.block)] = count.get(abs(o.block), 0) + 1
+        for x, y in zip(p, p[1:]):
+            succ.setdefault(x.block, set()).add(y.block)
+            pred.setdefault(y.block, set()).add(x.block)
+            # mirrored adjacency on the - strand
+            succ.setdefault(-y.block, set()).add(-x.block)
+            pred.setdefault(-x.block, set()).add(-y.block)
+            key = (x.block, y.block)
+            ok = y.start - x.end <= max_gap
+            gapok[key] = gapok.get(key, True) and ok
+            gapok[(-y.block, -x.block)] = gapok[key]
+
+    def mergeable(a: int, b: int) -> bool:
+        return (
+            succ.get(a) == {b}
+            and pred.get(b) == {a}
+            and gapok.get((a, b), False)
+            and abs(a) != abs(b)
+        )
+
+    # (b) chain maximal unique paths
+    changed = False
+    out: List[List[Occ]] = []
+    mapping: Dict[Tuple[int, int], Occ] = {}
+    for p in pruned:
+        np_: List[Occ] = []
+        i = 0
+        while i < len(p):
+            j = i
+            while j + 1 < len(p) and mergeable(p[j].block, p[j + 1].block):
+                j += 1
+            if j > i:
+                changed = True
+                key = tuple(abs(o.block) for o in p[i : j + 1])
+                merged = Occ(
+                    block=0,
+                    chr=p[i].chr,
+                    start=p[i].start,
+                    end=p[j].end,
+                )
+                np_.append((merged, p[i : j + 1]))
+            else:
+                np_.append((p[i], None))
+            i = j + 1
+        out.append(np_)
+
+    # assign consistent ids to merged chains: identify chains by their
+    # canonical signed id tuple (or its reverse complement)
+    chain_ids: Dict[Tuple[int, ...], int] = {}
+    final: List[List[Occ]] = []
+    for p in out:
+        np_ = []
+        for item, members in p:
+            if members is None:
+                np_.append(item)
+                continue
+            fwd = tuple(o.block for o in members)
+            rev = tuple(-o.block for o in reversed(members))
+            if fwd in chain_ids:
+                bid = chain_ids[fwd]
+            elif rev in chain_ids:
+                bid = -chain_ids[rev]
+            else:
+                chain_ids[fwd] = next_id
+                bid = next_id
+                next_id += 1
+            item.block = bid
+            np_.append(item)
+        final.append(np_)
+    return final, next_id, changed
+
+
+def build_synteny(
+    occs: Sequence[Occ],
+    n_chr: int,
+    min_block: int,
+    stages: Sequence[Tuple[int, int]] = DEFAULT_STAGES,
+) -> List[Occ]:
+    perms: List[List[Occ]] = [[] for _ in range(n_chr)]
+    for o in occs:
+        perms[o.chr].append(
+            Occ(block=o.block, chr=o.chr, start=o.start, end=o.end)
+        )
+    for p in perms:
+        p.sort(key=lambda o: o.start)
+    next_id = max((abs(o.block) for o in occs), default=0) + 1
+    for max_gap, noise in stages:
+        if noise > min_block:
+            break
+        while True:
+            perms, next_id, changed = _chain_stage(perms, max_gap, noise, next_id)
+            if not changed:
+                break
+    # keep blocks with >= 2 occurrences and length >= min_block; renumber
+    result = [o for p in perms for o in p if o.length >= min_block]
+    mult: Dict[int, int] = {}
+    for o in result:
+        mult[abs(o.block)] = mult.get(abs(o.block), 0) + 1
+    result = [o for o in result if mult[abs(o.block)] >= 2]
+    renum: Dict[int, int] = {}
+    out = []
+    for o in sorted(result, key=lambda o: (abs(o.block), o.chr, o.start)):
+        if abs(o.block) not in renum:
+            renum[abs(o.block)] = len(renum) + 1
+        nid = renum[abs(o.block)]
+        out.append(
+            Occ(
+                block=nid if o.block > 0 else -nid,
+                chr=o.chr,
+                start=o.start,
+                end=o.end,
+            )
+        )
+    return out
+
+
+def write_sibelia_outputs(
+    blocks: Sequence[Occ],
+    names: Sequence[str],
+    sizes: Sequence[int],
+    out_dir: str,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    sep = "-" * 80 + "\n"
+    with open(os.path.join(out_dir, "blocks_coords.txt"), "w") as f:
+        f.write("Seq_id\tSize\tDescription\n")
+        for i, (n, s) in enumerate(zip(names, sizes), start=1):
+            f.write(f"{i}\t{s}\t{n}\n")
+        f.write(sep)
+        by_id: Dict[int, List[Occ]] = {}
+        for o in blocks:
+            by_id.setdefault(abs(o.block), []).append(o)
+        for bid in sorted(by_id):
+            f.write(f"Block #{bid}\nSeq_id\tStrand\tStart\tEnd\tLength\n")
+            for o in by_id[bid]:
+                if o.block > 0:
+                    start, end = o.start + 1, o.end
+                else:
+                    start, end = sizes[o.chr] - o.start, sizes[o.chr] - o.end + 1
+                f.write(
+                    f"{o.chr + 1}\t{'+' if o.block > 0 else '-'}\t{start}\t{end}\t{o.length}\n"
+                )
+            f.write(sep)
+    with open(os.path.join(out_dir, "genomes_permutations.txt"), "w") as f:
+        for c, n in enumerate(names):
+            row = sorted((o for o in blocks if o.chr == c), key=lambda o: o.start)
+            f.write(f">{n}\n")
+            f.write(" ".join(f"{'+' if o.block > 0 else ''}{o.block}" for o in row))
+            f.write(" $\n")
+    with open(os.path.join(out_dir, "coverage_report.txt"), "w") as f:
+        f.write("Seq_id\tSize\tCovered\tPercent\n")
+        for c, (n, s) in enumerate(zip(names, sizes)):
+            cov = sum(o.length for o in blocks if o.chr == c)
+            f.write(f"{c + 1}\t{s}\t{cov}\t{100.0 * cov / s if s else 0:.2f}\n")
+
+
+def run(
+    input_path: str,
+    out_dir: str,
+    block_sizes: Sequence[int] = (5000,),
+    stages: Sequence[Tuple[int, int]] = DEFAULT_STAGES,
+) -> None:
+    if input_path.endswith(".maf"):
+        occs, names, sizes = parse_maf_blocks(input_path)
+    else:
+        occs, names, sizes = parse_gff_blocks(input_path)
+    for mbs in block_sizes:
+        blocks = build_synteny(occs, len(names), mbs, stages)
+        write_sibelia_outputs(
+            blocks, names, sizes, os.path.join(out_dir, str(mbs))
+        )

@@ -1,0 +1,69 @@
+"""Post-processing tools: GFA round-trip, XMFA layout, synteny merge."""
+
+import io
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+
+from sibeliaz_tpu.align import msa as msa_mod
+from sibeliaz_tpu.config import Config
+from sibeliaz_tpu.core import alphabet
+from sibeliaz_tpu import pipeline
+from sibeliaz_tpu.postprocess import gfa, synteny, xmfa
+
+from reference_oracle import random_related_genomes
+
+
+def run_pipeline_with_maf(tmp_path, seed=40, **kwargs):
+    seqs, names = random_related_genomes(seed, length=2500, mut=0.02, **kwargs)
+    cfg = Config(k=15)
+    res = pipeline.find_blocks(seqs, names, cfg, engine="native")
+    maf = tmp_path / "alignment.maf"
+    msa_mod.align_blocks_to_maf(res.blocks, seqs, names, str(maf), cmd="t")
+    gff = tmp_path / "blocks_coords.gff"
+    gff.write_text(res.gff)
+    return seqs, names, res, str(maf), str(gff)
+
+
+def test_gfa_roundtrip(tmp_path):
+    seqs, names, res, maf, _ = run_pipeline_with_maf(tmp_path, rearrange=True)
+    out = io.StringIO()
+    gfa.maf_to_gfa(maf, {n: s for n, s in zip(names, seqs)}, out)
+    gfa_path = tmp_path / "g.gfa"
+    gfa_path.write_text(out.getvalue())
+    glued = gfa.glue(str(gfa_path))
+    for n, s in zip(names, seqs):
+        assert glued[n] == alphabet.seq_to_str(s), f"round-trip failed for {n}"
+
+
+def test_xmfa_layout(tmp_path):
+    _, _, _, maf, _ = run_pipeline_with_maf(tmp_path, seed=41)
+    out = io.StringIO()
+    xmfa.maf_to_xmfa(maf, out)
+    text = out.getvalue()
+    assert text.startswith("#FormatVersion Mauve1\n")
+    assert "=\n" in text
+    # every alignment entry header is parseable
+    for line in text.splitlines():
+        if line.startswith(">"):
+            body = line[2:]
+            coords, strand, name = body.split(" ", 2)
+            sid, rng = coords.split(":")
+            lo, hi = rng.split("-")
+            assert int(sid) >= 1 and int(lo) >= 1 and int(hi) >= int(lo)
+            assert strand in "+-"
+
+
+def test_synteny_merges_blocks(tmp_path):
+    seqs, names, res, _, gff = run_pipeline_with_maf(tmp_path, seed=42)
+    synteny.run(gff, str(tmp_path / "syn"), block_sizes=[100])
+    out = (tmp_path / "syn" / "100" / "blocks_coords.txt").read_text()
+    assert out.startswith("Seq_id\tSize\tDescription\n")
+    assert "Block #1" in out
+    perms = (tmp_path / "syn" / "100" / "genomes_permutations.txt").read_text()
+    assert perms.count(">") == len(names)
+    # merged representation must not have more blocks than the input LCBs
+    n_syn = out.count("Block #")
+    assert 1 <= n_syn <= res.blocks_found
