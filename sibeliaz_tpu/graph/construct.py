@@ -169,7 +169,18 @@ def junction_analysis(codes_u8: jnp.ndarray, k: int):
     return is_junction_occ, positive, first_idx
 
 
+def junction_analysis_packed(codes_u8: jnp.ndarray, k: int):
+    """Transfer-lean variant: flags packed into one uint8 (bit0 = junction
+    occurrence, bit1 = canonical/positive orientation) and the
+    first-occurrence index narrowed to int32 (valid for inputs < 2 Gbp;
+    the uint32 position format caps chromosomes far earlier anyway)."""
+    isj, pos, first = junction_analysis(codes_u8, k)
+    flags = isj.astype(jnp.uint8) | (pos.astype(jnp.uint8) << 1)
+    return flags, first.astype(jnp.int32)
+
+
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
+_junction_kernel_packed = jax.jit(junction_analysis_packed, static_argnums=(1,))
 
 
 def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
@@ -195,10 +206,11 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
             [joined, np.full(bucket - len(joined), ord("N"), dtype=np.uint8)]
         )
     codes = alphabet.encode(joined)
-    mask, positive, first_idx = _junction_kernel(jnp.asarray(codes), k)
-    mask = np.asarray(mask)
-    positive = np.asarray(positive)
+    flags, first_idx = _junction_kernel_packed(jnp.asarray(codes), k)
+    flags = np.asarray(flags)
     first_idx = np.asarray(first_idx)
+    mask = (flags & 1) > 0
+    positive = (flags & 2) > 0
 
     jpos = np.flatnonzero(mask)
     fidx = first_idx[jpos]
