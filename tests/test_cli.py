@@ -1,0 +1,54 @@
+"""CLI end-to-end: full pipeline from FASTA files on disk, both -n and
+aligned modes, plus .dbg checkpoint interop."""
+
+import subprocess
+import sys
+
+sys.path.insert(0, "tests")
+
+from sibeliaz_tpu.cli import run
+from sibeliaz_tpu.io import fasta
+
+from reference_oracle import random_related_genomes
+
+
+def write_inputs(tmp_path, seqs, names):
+    fa = tmp_path / "genomes.fa"
+    fasta.write_fasta(
+        str(fa), [fasta.FastaRecord(n, s) for n, s in zip(names, seqs)]
+    )
+    return str(fa)
+
+
+def test_cli_noalign(tmp_path, capsys):
+    seqs, names = random_related_genomes(50, length=2000, mut=0.02)
+    fa = write_inputs(tmp_path, seqs, names)
+    out = tmp_path / "out"
+    rc = run(["-k", "15", "-n", "-o", str(out), fa])
+    assert rc == 0
+    gff = (out / "blocks_coords.gff").read_text()
+    assert gff.startswith("##gff-version 3.1.26\n")
+    assert "SibeliaZ" in gff
+
+
+def test_cli_full_with_maf(tmp_path):
+    seqs, names = random_related_genomes(51, length=1500, mut=0.02)
+    fa = write_inputs(tmp_path, seqs, names)
+    out = tmp_path / "out"
+    rc = run(["-k", "15", "-o", str(out), "-t", "2", fa])
+    assert rc == 0
+    maf = (out / "alignment.maf").read_text()
+    assert maf.startswith("##maf version=1\n")
+    assert "\na\n" in maf
+
+
+def test_cli_dbg_checkpoint_roundtrip(tmp_path):
+    seqs, names = random_related_genomes(52, length=1500, mut=0.02)
+    fa = write_inputs(tmp_path, seqs, names)
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    dbg = tmp_path / "g.dbg"
+    assert run(["-k", "15", "-n", "-o", str(out1), "--dump-graph", str(dbg), fa]) == 0
+    assert run(["-k", "15", "-n", "-o", str(out2), "--graph", str(dbg), fa]) == 0
+    assert (out1 / "blocks_coords.gff").read_text() == (
+        out2 / "blocks_coords.gff"
+    ).read_text()
