@@ -31,6 +31,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-n", dest="noalign", action="store_true", help="skip the alignment stage")
     p.add_argument("--graph", default=None, help="load junctions from a .dbg file instead of running graph construction")
     p.add_argument("--dump-graph", default=None, help="write the junction stream to this .dbg file (checkpoint)")
+    p.add_argument(
+        "--legacy-chunks", type=int, default=0, metavar="N",
+        help="also emit reference-format <i>.tmp chunk files (N chunks) for "
+        "external alignment tooling",
+    )
     p.add_argument("fastas", nargs="+", help="FASTA files with genomes")
 
 
@@ -100,6 +105,13 @@ def run(argv: Optional[List[str]] = None) -> int:
     print(f"Blocks found: {res.blocks_found}")
     print(f"Coverage: {res.coverage:.2f}")
 
+    if args.legacy_chunks:
+        from sibeliaz_tpu.output import chunks as chunks_mod
+
+        chunks_mod.write_chunks(
+            res.blocks, seqs, names, cfg.out_dir, chunks=args.legacy_chunks
+        )
+
     if not cfg.no_align:
         print("Performing global alignment..")
         from sibeliaz_tpu.align import msa as msa_mod
@@ -115,6 +127,9 @@ def run(argv: Optional[List[str]] = None) -> int:
         f"Timings: graph {t_graph - t0:.2f}s, lcb {t_lcb - t_graph:.2f}s, "
         f"total {t_end - t0:.2f}s"
     )
+    from sibeliaz_tpu.utils.metrics import GLOBAL as metrics
+
+    metrics.dump(os.path.join(cfg.out_dir, "metrics.json"))
     return 0
 
 

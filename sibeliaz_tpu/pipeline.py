@@ -47,33 +47,42 @@ def find_blocks(
     records: Optional[Sequence[JunctionChr]] = None,
     engine: str = "native",
 ) -> LcbResult:
-    table = build_table(seqs, names, cfg, records)
-    if engine == "oracle":
-        from sibeliaz_tpu.lcb.oracle import LcbEngine
+    from sibeliaz_tpu.utils.metrics import GLOBAL as metrics
 
-        eng = LcbEngine(
-            table,
-            min_block_size=cfg.min_block_size,
-            max_branch_size=cfg.max_branch_size,
-            max_flanking_size=cfg.flanking,
-            looking_depth=cfg.looking_depth,
-        )
-        raw = eng.run()
-    else:
-        from sibeliaz_tpu.lcb.engine import run_native
+    with metrics.stage("junction_table"):
+        table = build_table(seqs, names, cfg, records)
+    metrics.set("vertices", table.n_vertices)
+    metrics.set("junction_records", int(sum(len(p) for p in table.jpos)))
+    with metrics.stage("lcb_engine", engine=engine):
+        if engine == "oracle":
+            from sibeliaz_tpu.lcb.oracle import LcbEngine
 
-        raw = run_native(
-            table,
-            min_block_size=cfg.min_block_size,
-            max_branch_size=cfg.max_branch_size,
-            max_flanking_size=cfg.flanking,
-            looking_depth=cfg.looking_depth,
-            threads=cfg.threads,
-        )
+            eng = LcbEngine(
+                table,
+                min_block_size=cfg.min_block_size,
+                max_branch_size=cfg.max_branch_size,
+                max_flanking_size=cfg.flanking,
+                looking_depth=cfg.looking_depth,
+            )
+            raw = eng.run()
+        else:
+            from sibeliaz_tpu.lcb.engine import run_native
+
+            raw = run_native(
+                table,
+                min_block_size=cfg.min_block_size,
+                max_branch_size=cfg.max_branch_size,
+                max_flanking_size=cfg.flanking,
+                looking_depth=cfg.looking_depth,
+                threads=cfg.threads,
+            )
     chr_lengths = [len(s) for s in seqs]
-    blocks, n_found = trim_mod.trim_blocks(raw, chr_lengths, cfg.min_block_size)
-    cov = trim_mod.coverage(blocks, chr_lengths)
-    text = gff_mod.render_gff(blocks, list(names), chr_lengths)
+    with metrics.stage("trim_and_render"):
+        blocks, n_found = trim_mod.trim_blocks(raw, chr_lengths, cfg.min_block_size)
+        cov = trim_mod.coverage(blocks, chr_lengths)
+        text = gff_mod.render_gff(blocks, list(names), chr_lengths)
+    metrics.set("blocks_found", n_found)
+    metrics.set("coverage", cov)
     return LcbResult(
         blocks=blocks, gff=text, blocks_found=n_found, coverage=cov, table=table
     )
