@@ -156,14 +156,35 @@ def align_blocks_to_maf(
     threads: int = 1,
     budget_bytes: int = 2 << 30,
     version_stamp: str = "sibeliaz v1.2.7",
+    engine: str = "native",
 ) -> List[int]:
     """Align all LCBs and write the MAF; returns the ids of overflow blocks
-    (their copies are written to <dir>/blocks/<id>.fa)."""
+    (their copies are written to <dir>/blocks/<id>.fa).
+
+    engine="native" runs the OpenMP C++ POA; engine="tpu" runs the batched
+    device DP (align/tpu_poa.py) with native fallback for blocks that
+    exceed its padded budgets — both produce identical MSAs (tested)."""
     groups = block_copies(blocks, seqs)
     blocks_seqs = [
         [copy_sequence(b, seqs) for b in grp] for _, grp in groups
     ]
-    msas = poa_msa_batch(blocks_seqs, threads=threads, budget_bytes=budget_bytes)
+    if engine == "tpu":
+        from sibeliaz_tpu.align import tpu_poa
+
+        msas = tpu_poa.poa_msa_batch_tpu(blocks_seqs)
+        missing = [g for g, m in enumerate(msas) if m is None]
+        if missing:
+            redo = poa_msa_batch(
+                [blocks_seqs[g] for g in missing],
+                threads=threads,
+                budget_bytes=budget_bytes,
+            )
+            for g, m in zip(missing, redo):
+                msas[g] = m
+    else:
+        msas = poa_msa_batch(
+            blocks_seqs, threads=threads, budget_bytes=budget_bytes
+        )
 
     out_dir = os.path.dirname(os.path.abspath(maf_path))
     overflow: List[int] = []

@@ -1,0 +1,243 @@
+"""TPU-batched partial-order alignment (the device POA path, SURVEY §2.3 P3).
+
+The POA DP recurrence for sequence-vs-DAG global alignment with linear gaps
+
+    H[i][r] = max( max_p H[i-1][pred_p] + s(seq_i, char_r),   # match
+                   max_p H[i][pred_p]   - 8,                  # deletion
+                   H[i-1][r]            - 8 )                 # insertion
+
+has two dependence directions (along the DAG and along the sequence).  The
+TPU formulation resolves them as:
+
+  * a `lax.scan` over graph nodes in topological order (the DAG direction is
+    inherently sequential, but each step is a full VPU vector over the
+    sequence axis),
+  * the within-column insertion chain — col[i] = max(base[i], col[i-1]-8) —
+    collapsed into one damped running maximum:
+        col = cummax(base + 8*i) - 8*i
+    which XLA lowers to a parallel prefix scan, no sequential loop,
+  * `vmap` over a bucket of blocks, so one device program aligns the next
+    copy of every block in the bucket simultaneously.
+
+Scores/tie-breaks mirror align/poa_ref.py exactly (match > deletion >
+insertion, first arg-max over predecessors, smallest-rank sink), so the
+device engine is differential-tested against the executable spec.  Graph
+maintenance (threading the alignment, topological order, MSA emission)
+reuses the spec's PoaGraph on the host — only the O(L·N) DP runs on device.
+
+Blocks whose graphs outgrow the padded node budget or predecessor fan-in
+fall back to the native host engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sibeliaz_tpu.align.poa_ref import GAP, MATCH, MISMATCH, PoaGraph
+
+MAX_PREDS = 8
+NEG = -(2**29)
+
+# direction encoding: bits 0-3 pred slot, bit 4 match, bit 5 insertion
+_DIR_MATCH = 1 << 4
+_DIR_INS = 1 << 5
+
+
+def _dp_single(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_max):
+    """DP for one block; returns (dirs [N, L+1] uint8, best_r int32)."""
+    L = seq.shape[0]
+    ivec = jnp.arange(L + 1, dtype=jnp.int32)
+    # substitution score vector for row i (1-based): s(seq[i-1], char_r)
+    # computed per scan step from the node char.
+    src_col = (GAP * ivec).astype(jnp.int32)  # virtual source column
+
+    # carry: H rows for all nodes plus the source column in row n_max;
+    # row r is written with a dynamic_update_slice per scan step.
+    def step2(carry, xs):
+        H, r = carry
+        char_r, pidx, pok = xs
+        predH = jnp.where(pok[:, None], H[pidx], NEG)
+        shifted = jnp.concatenate(
+            [jnp.full((MAX_PREDS, 1), NEG, jnp.int32), predH[:, :-1]], axis=1
+        )
+        diag_best = jnp.max(shifted, axis=0)
+        diag_slot = jnp.argmax(shifted, axis=0).astype(jnp.uint8)
+        subs = jnp.where(
+            jnp.concatenate([jnp.zeros(1, jnp.uint8), seq]) == char_r,
+            MATCH,
+            MISMATCH,
+        ).astype(jnp.int32)
+        diag = diag_best + subs
+        horiz_best = jnp.max(predH, axis=0)
+        horiz_slot = jnp.argmax(predH, axis=0).astype(jnp.uint8)
+        horiz = horiz_best + GAP
+        is_match = diag >= horiz
+        base = jnp.maximum(diag, horiz)
+        col = jax.lax.cummax(base + 8 * ivec) - 8 * ivec
+        is_ins = col > base
+        d = jnp.where(is_match, diag_slot | _DIR_MATCH, horiz_slot).astype(
+            jnp.uint8
+        )
+        d = jnp.where(is_ins, jnp.uint8(_DIR_INS), d)
+        H = jax.lax.dynamic_update_slice(H, col[None, :], (r, jnp.int32(0)))
+        return (H, r + 1), d
+
+    H0 = jnp.full((n_max + 1, L + 1), NEG, jnp.int32)
+    H0 = H0.at[n_max].set(src_col)
+    (H, _), dirs = jax.lax.scan(
+        step2, (H0, jnp.int32(0)), (node_char, pred_idx, pred_ok)
+    )
+    # sink selection at row seq_len: max score, then smallest rank
+    scores = H[:n_max, seq_len]
+    scores = jnp.where(sink_mask, scores, NEG)
+    best_r = jnp.argmax(scores).astype(jnp.int32)
+    return dirs, best_r
+
+
+@functools.partial(jax.jit, static_argnums=(7,))
+def _dp_batch(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_nodes, n_max):
+    del n_nodes
+    return jax.vmap(
+        lambda a, b, c, d, e, f: _dp_single(a, b, c, d, e, f, n_max)
+    )(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask)
+
+
+class _BlockState:
+    def __init__(self, seqs: List[np.ndarray]):
+        self.seqs = seqs
+        self.graph = PoaGraph()
+        self.graph.add_first(seqs[0])
+        self.next = 1
+        self.fallback = False
+
+    @property
+    def done(self) -> bool:
+        return self.fallback or self.next >= len(self.seqs)
+
+
+def _extract_arrays(g: PoaGraph, n_max: int):
+    """Topo-rank-space arrays for the device DP, or None if over budget."""
+    topo = g.topo_nodes()
+    N = len(topo)
+    if N > n_max:
+        return None
+    rank = {nid: r for r, nid in enumerate(topo)}
+    node_char = np.zeros(n_max, dtype=np.uint8)
+    pred_idx = np.full((n_max, MAX_PREDS), n_max, dtype=np.int32)
+    pred_ok = np.zeros((n_max, MAX_PREDS), dtype=bool)
+    sink = np.zeros(n_max, dtype=bool)
+    for r, nid in enumerate(topo):
+        node_char[r] = g.char[nid]
+        ps = g.preds[nid]
+        if len(ps) > MAX_PREDS:
+            return None
+        if ps:
+            for k, p in enumerate(ps):
+                pred_idx[r, k] = rank[p]
+                pred_ok[r, k] = True
+        else:
+            pred_idx[r, 0] = n_max  # virtual source
+            pred_ok[r, 0] = True
+        sink[r] = not g.succs[nid]
+    return topo, node_char, pred_idx, pred_ok, sink
+
+
+def _traceback(dirs, best_r, seq_len, topo, pred_idx, n_max):
+    aln: List[Tuple[Optional[int], Optional[int]]] = []
+    i = int(seq_len)
+    r = int(best_r)
+    at_src = False
+    while i > 0 or not at_src:
+        if at_src:
+            aln.append((None, i - 1))
+            i -= 1
+            continue
+        d = int(dirs[r, i])
+        nid = topo[r]
+        if d & _DIR_INS:
+            aln.append((None, i - 1))
+            i -= 1
+            continue
+        slot = d & 0xF
+        p = int(pred_idx[r, slot])
+        if d & _DIR_MATCH:
+            aln.append((nid, i - 1))
+            i -= 1
+        else:
+            aln.append((nid, None))
+        if p == n_max:
+            at_src = True
+        else:
+            r = p
+    aln.reverse()
+    return aln
+
+
+def poa_msa_batch_tpu(
+    blocks_seqs: Sequence[Sequence[np.ndarray]],
+    node_budget_factor: float = 1.75,
+) -> List[Optional[List[bytes]]]:
+    """MSA per block computed with the device DP; None for blocks that fell
+    back (caller should route those to the native engine)."""
+    if not blocks_seqs:
+        return []
+    states = [_BlockState([np.asarray(s, dtype=np.uint8) for s in seqs])
+              for seqs in blocks_seqs]
+    # bucket dims: shared across all blocks (simple round-1 policy)
+    max_len = max(max(len(s) for s in st.seqs) for st in states)
+    L = max(64, 1 << (max_len - 1).bit_length())
+    n_max = int(L * node_budget_factor)
+
+    while any(not st.done for st in states):
+        active = [b for b, st in enumerate(states) if not st.done]
+        arrs = []
+        for b in active:
+            st = states[b]
+            ex = _extract_arrays(st.graph, n_max)
+            if ex is None:
+                st.fallback = True
+                continue
+            arrs.append((b, ex))
+        if not arrs:
+            continue
+        # pad the batch to a power of two so jit compilations are reused
+        B = len(arrs)
+        B_pad = 1 << (B - 1).bit_length()
+        seq_b = np.zeros((B_pad, L), dtype=np.uint8)
+        len_b = np.zeros(B_pad, dtype=np.int32)
+        char_b = np.zeros((B_pad, n_max), dtype=np.uint8)
+        pi_b = np.full((B_pad, n_max, MAX_PREDS), n_max, dtype=np.int32)
+        po_b = np.zeros((B_pad, n_max, MAX_PREDS), dtype=bool)
+        sink_b = np.zeros((B_pad, n_max), dtype=bool)
+        for j, (b, (topo, nc, pi, po, sk)) in enumerate(arrs):
+            st = states[b]
+            s = st.seqs[st.next]
+            seq_b[j, : len(s)] = s
+            len_b[j] = len(s)
+            char_b[j] = nc
+            pi_b[j] = pi
+            po_b[j] = po
+            sink_b[j] = sk
+        dirs, best_r = _dp_batch(
+            jnp.asarray(seq_b), jnp.asarray(len_b), jnp.asarray(char_b),
+            jnp.asarray(pi_b), jnp.asarray(po_b), jnp.asarray(sink_b),
+            jnp.asarray(len_b), n_max,
+        )
+        dirs = np.asarray(dirs)
+        best_r = np.asarray(best_r)
+        for j, (b, (topo, nc, pi, po, sk)) in enumerate(arrs):
+            st = states[b]
+            s = st.seqs[st.next]
+            aln = _traceback(dirs[j], best_r[j], len(s), topo, pi, n_max)
+            st.graph.add_alignment(aln, s)
+            st.next += 1
+
+    out: List[Optional[List[bytes]]] = []
+    for st in states:
+        out.append(None if st.fallback else st.graph.msa())
+    return out
