@@ -179,8 +179,149 @@ def junction_analysis_packed(codes_u8: jnp.ndarray, k: int):
     return flags, first.astype(jnp.int32)
 
 
+def junction_records_compact(codes_u8: jnp.ndarray, k: int, capacity: int):
+    """Full device-side record assembly: returns (count, pos[capacity],
+    signed_id[capacity]) — only ~8 bytes per junction leave the device.
+
+    Id assignment needs no extra sort: a position p is its class's *first*
+    occurrence iff first_idx[p] == p, so the dense 1..J numbering in
+    first-occurrence order is a cumulative count of class-firsts gathered
+    at each occurrence's first_idx."""
+    isj, positive, first = junction_analysis(codes_u8, k)
+    n = codes_u8.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    is_class_first = isj & (first == idx)
+    firstcum = jnp.cumsum(is_class_first.astype(jnp.int64))  # inclusive
+    ids = firstcum[first]  # 1-based class id by first-occurrence order
+    signed = jnp.where(positive, ids, -ids).astype(jnp.int32)
+
+    ranks = jnp.cumsum(isj.astype(jnp.int64)) - 1
+    count = (ranks[-1] + 1).astype(jnp.int32)
+    slot = jnp.where(isj, ranks, capacity)  # out-of-range rows are dropped
+    out_pos = jnp.zeros(capacity, jnp.int32).at[slot].set(
+        idx.astype(jnp.int32), mode="drop"
+    )
+    out_id = jnp.zeros(capacity, jnp.int32).at[slot].set(signed, mode="drop")
+    return count, out_pos, out_id
+
+
+def junction_records_compact_v2(codes_u8: jnp.ndarray, k: int, capacity: int):
+    """Scatter-free variant of junction_records_compact.
+
+    TPU scatters serialize; this formulation replaces every segment-op and
+    scatter with sorts (which the TPU sorts well) and *segmented
+    associative scans* (log-depth, fully vectorized):
+
+      * per-class aggregates (extension-char presence bits, boundary flag)
+        ride ONE packed int32 through a forward segmented-OR scan; the
+        segment-end total is broadcast back with a reverse copy-scan,
+      * the first-occurrence index is carried by the same forward scan
+        (stable sort puts it first in its segment),
+      * the inverse permutation is argsort(perm) — a sort, not a scatter,
+      * compaction is a key sort (junctions first, genome order) + slice.
+    """
+    n = codes_u8.shape[0]
+    definite = codes_u8 != alphabet.BAD_CODE
+    codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
+
+    defc = jnp.cumsum(definite.astype(jnp.int64))
+    defc = jnp.concatenate([jnp.zeros(1, jnp.int64), defc])
+    valid = (defc[k:] - defc[:-k]) == k
+    valid = jnp.concatenate([valid, jnp.zeros(k - 1, dtype=bool)])
+
+    fwd, rc = _doubling_codes(codes, k)
+    positive = fwd < rc
+    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
+
+    idx = jnp.arange(n)
+    nxt_ok = jnp.roll(definite, -k) & (idx + k < n)
+    prv_ok = jnp.roll(definite, 1) & (idx >= 1)
+    nxt = jnp.where(nxt_ok, jnp.roll(codes, -k), _NO_EXT)
+    prv = jnp.where(prv_ok, jnp.roll(codes, 1), _NO_EXT)
+    comp_nxt = jnp.where(nxt_ok, 3 - jnp.roll(codes, -k), _NO_EXT)
+    comp_prv = jnp.where(prv_ok, 3 - jnp.roll(codes, 1), _NO_EXT)
+    right_ext = jnp.where(positive, nxt, comp_prv)
+    left_ext = jnp.where(positive, prv, comp_nxt)
+    prev_valid = jnp.concatenate([jnp.zeros(1, dtype=bool), valid[:-1]])
+    next_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=bool)])
+    at_boundary = valid & (~prev_valid | ~next_valid)
+
+    # packed per-occurrence class evidence: bits 0-4 right ext presence
+    # (bit 4 = "no ext", ignored in counts), bits 5-9 left, bit 10 boundary
+    packed = (
+        (jnp.int32(1) << right_ext.astype(jnp.int32))
+        | (jnp.int32(1) << (left_ext.astype(jnp.int32) + 5))
+        | (at_boundary.astype(jnp.int32) << 10)
+    )
+
+    perm = jnp.argsort(canon, stable=True)
+    canon_s = canon[perm]
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
+    )
+    packed_s = packed[perm]
+
+    def fwd_comb(a, b):
+        fa, oa, ia = a
+        fb, ob, ib = b
+        return (
+            fa | fb,
+            jnp.where(fb, ob, oa | ob),
+            jnp.where(fb, ib, ia),
+        )
+
+    _, or_acc, first_s = jax.lax.associative_scan(
+        fwd_comb, (seg_start, packed_s, perm)
+    )
+
+    # broadcast each segment's final OR back to all members (reverse scan)
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
+
+    def rev_comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return (fa | fb, jnp.where(fb, vb, va))
+
+    _, total_rev = jax.lax.associative_scan(
+        rev_comb, (seg_end[::-1], or_acc[::-1])
+    )
+    total = total_rev[::-1]
+
+    def popcount4(x, base):
+        c = jnp.zeros_like(x)
+        for b in range(4):
+            c += (x >> (base + b)) & 1
+        return c
+
+    distinct_right = popcount4(total, 0)
+    distinct_left = popcount4(total, 5)
+    boundary_any = (total >> 10) & 1
+    junction_s = (distinct_right > 1) | (distinct_left > 1) | (boundary_any > 0)
+    junction_s = junction_s & (canon_s != _INVALID_CANON)
+
+    inv = jnp.argsort(perm)  # inverse permutation via sort, not scatter
+    junction_o = junction_s[inv]
+    first_o = first_s[inv]
+
+    is_class_first = junction_o & (first_o == idx)
+    firstcum = jnp.cumsum(is_class_first.astype(jnp.int64))
+    ids = firstcum[first_o]
+    signed = jnp.where(positive, ids, -ids).astype(jnp.int32)
+
+    count = jnp.sum(junction_o.astype(jnp.int64)).astype(jnp.int32)
+    key = jnp.where(junction_o, idx, idx + n)
+    _, out_pos, out_id = jax.lax.sort(
+        (key, idx.astype(jnp.int32), signed), num_keys=1
+    )
+    return count, out_pos[:capacity], out_id[:capacity]
+
+
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
 _junction_kernel_packed = jax.jit(junction_analysis_packed, static_argnums=(1,))
+_junction_kernel_compact = jax.jit(junction_records_compact, static_argnums=(1, 2))
+_junction_kernel_compact_v2 = jax.jit(
+    junction_records_compact_v2, static_argnums=(1, 2)
+)
 
 
 def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
@@ -206,17 +347,30 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
             [joined, np.full(bucket - len(joined), ord("N"), dtype=np.uint8)]
         )
     codes = alphabet.encode(joined)
-    flags, first_idx = _junction_kernel_packed(jnp.asarray(codes), k)
-    flags = np.asarray(flags)
-    first_idx = np.asarray(first_idx)
-    mask = (flags & 1) > 0
-    positive = (flags & 2) > 0
-
-    jpos = np.flatnonzero(mask)
-    fidx = first_idx[jpos]
-    uniq = np.unique(fidx)  # ascending == first-occurrence order
-    ids = np.searchsorted(uniq, fidx) + 1
-    signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
+    capacity = max(4096, len(joined) // 3)
+    # NOTE: the scatter-free _v2 kernel verifies bit-equal and is faster on
+    # CPU, but its unrolled associative scans blow up TPU compile time in
+    # this environment — v1 (segment ops) stays the device default.
+    count, out_pos, out_id = _junction_kernel_compact(
+        jnp.asarray(codes), k, capacity
+    )
+    count = int(count)
+    if count > capacity:
+        # extremely junction-dense input: fall back to the full-length path
+        flags, first_idx = _junction_kernel_packed(jnp.asarray(codes), k)
+        flags = np.asarray(flags)
+        first_idx = np.asarray(first_idx)
+        mask = (flags & 1) > 0
+        positive = (flags & 2) > 0
+        jpos = np.flatnonzero(mask)
+        fidx = first_idx[jpos]
+        uniq = np.unique(fidx)
+        ids = np.searchsorted(uniq, fidx) + 1
+        signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
+    else:
+        # slice on device so only count*8 bytes cross to the host
+        jpos = np.asarray(out_pos[:count]).astype(np.int64)
+        signed = np.asarray(out_id[:count]).astype(np.int64)
 
     # Split global positions back into chromosomes (separator widths = 1).
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
