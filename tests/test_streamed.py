@@ -1,0 +1,55 @@
+"""Streamed (memory-bounded) graph construction must equal the monolithic
+kernel bit-for-bit."""
+
+import numpy as np
+import pytest
+
+from sibeliaz_tpu.core import alphabet
+from sibeliaz_tpu.graph import construct, streamed
+
+
+def assert_same(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert np.array_equal(x.pos, y.pos)
+        assert np.array_equal(x.ids, y.ids)
+
+
+def genomes(seed, n_chr=3, lo=500, hi=3000, n_prob=0.0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_chr):
+        L = int(rng.integers(lo, hi))
+        s = alphabet.decode(rng.integers(0, 4, size=L).astype(np.uint8))
+        if n_prob:
+            s[rng.random(L) < n_prob] = ord("N")
+        out.append(s)
+    return out
+
+
+@pytest.mark.parametrize("seed,k,chunk,rounds", [
+    (0, 15, 1 << 10, 4),
+    (1, 11, 777, 3),     # non-power-of-two chunk crossing chromosomes
+    (2, 7, 1 << 12, 1),
+    (3, 15, 1 << 9, 8),
+])
+def test_streamed_matches_monolithic(seed, k, chunk, rounds):
+    seqs = genomes(seed, n_prob=0.01 if seed % 2 else 0.0)
+    assert_same(
+        construct.build_junctions(seqs, k),
+        streamed.build_junctions_streamed(seqs, k, chunk_size=chunk, n_rounds=rounds),
+    )
+
+
+def test_streamed_related():
+    rng = np.random.default_rng(9)
+    base = alphabet.decode(rng.integers(0, 4, size=4000).astype(np.uint8))
+    g2 = base.copy()
+    for p in np.flatnonzero(rng.random(len(g2)) < 0.01):
+        g2[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+    g3 = alphabet.reverse_complement(base)
+    seqs = [base, g2, g3]
+    assert_same(
+        construct.build_junctions(seqs, 15),
+        streamed.build_junctions_streamed(seqs, 15, chunk_size=1000, n_rounds=5),
+    )
