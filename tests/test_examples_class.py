@@ -1,0 +1,78 @@
+"""Examples-class differential runs (the reference's bundled example is
+2 genomes x 4 chromosomes x ~1.5 Mbp at k=25; its FASTA inputs are missing
+from the mount, so we regenerate the configuration synthetically and assert
+byte-equality against the compiled reference binary).
+
+The full-size case is gated behind SIBELIAZ_SLOW_TESTS=1; a scaled-down
+block-rich case always runs."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from sibeliaz_tpu.config import Config
+from sibeliaz_tpu.graph import construct
+from sibeliaz_tpu.io import dbg, fasta
+from sibeliaz_tpu import pipeline
+
+from reference_oracle import run_reference_lcb, random_related_genomes
+
+
+def run_case(tmp_path, seqs, names, k, threads=4):
+    records = construct.build_junctions(seqs, k)
+    fa = str(tmp_path / "g.fa")
+    fasta.write_fasta(fa, [fasta.FastaRecord(n, s) for n, s in zip(names, seqs)])
+    dp = str(tmp_path / "g.dbg")
+    dbg.write_dbg(dp, records)
+    ref = run_reference_lcb(dp, fa, str(tmp_path / "ref"), k, threads=threads)
+    ours = pipeline.find_blocks(
+        seqs, names, Config(k=k, threads=threads), records=records, engine="native"
+    )
+    return ref, ours
+
+
+def test_block_rich_case(tmp_path):
+    # Higher divergence + inversions + repeats -> many blocks, both strands.
+    rng = np.random.default_rng(77)
+    from sibeliaz_tpu.core import alphabet
+
+    n_chr = 2
+    ancestors = [
+        alphabet.decode(rng.integers(0, 4, size=120_000).astype(np.uint8))
+        for _ in range(n_chr)
+    ]
+    seqs, names = [], []
+    for g in range(3):
+        for c, anc in enumerate(ancestors):
+            s = anc.copy()
+            for p in np.flatnonzero(rng.random(len(s)) < 0.04):
+                s[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+            # several inversions
+            for _ in range(4):
+                lo = int(rng.integers(0, len(s) - 5000))
+                hi = lo + int(rng.integers(1000, 5000))
+                s[lo:hi] = alphabet.reverse_complement(s[lo:hi])
+            seqs.append(s)
+            names.append(f"G{g + 1}.Chr{c + 1}")
+    ref, ours = run_case(tmp_path, seqs, names, k=15)
+    assert ours.gff == ref
+    assert ours.blocks_found > 20  # actually block-rich
+    minus = sum(1 for line in ours.gff.splitlines() if "\t-\t" in line)
+    assert minus > 0  # negative strands exercised
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SIBELIAZ_SLOW_TESTS"),
+    reason="set SIBELIAZ_SLOW_TESTS=1 for the 12 Mbp examples-class run",
+)
+def test_examples_class_full(tmp_path):
+    seqs, _ = random_related_genomes(
+        123, n_genomes=2, n_chr=4, length=1_500_000, mut=0.02, rearrange=True
+    )
+    names = [f"Genome{g}.Chr{c}" for g in (1, 2) for c in (1, 2, 3, 4)]
+    ref, ours = run_case(tmp_path, seqs, names, k=25, threads=8)
+    assert ours.gff == ref
