@@ -134,20 +134,40 @@ struct Graph {
     }
 
     // ---- DP: rolling rows + direction matrix ----
-    std::vector<u8> dir((n + 1) * i64(N));
-    std::vector<i64> Hprev(N, NEG), Hcur(N, NEG);
-    auto src = [&](i64 i) { return GAP * i; };
+    // Flatten predecessor lists into rank-space CSR once (the per-cell
+    // vector-of-vectors walk was the hot path), and use int32 scores (they
+    // are bounded by ~13*(n+N), far below 2^31 under the DP budget).
+    using Score = int32_t;
+    const Score NEGS = Score(-(i64(1) << 29));
+    std::vector<int> pred_off(N + 1, 0), pred_rank;
+    std::vector<u8> node_ch(N);
+    pred_rank.reserve(ch.size() * 2);
     for (int r = 0; r < N; r++) {
       int nid = topo[r];
-      if (preds[nid].empty()) {
+      node_ch[r] = ch[nid];
+      for (int p : preds[nid]) pred_rank.push_back(rank[p]);
+      pred_off[r + 1] = int(pred_rank.size());
+    }
+    // chain[r]: exactly one predecessor and it is rank r-1 — the common
+    // case (linear backbone), which gets a branch-light fast path.
+    std::vector<u8> chain(N, 0);
+    for (int r = 0; r < N; r++)
+      if (pred_off[r + 1] - pred_off[r] == 1 && pred_rank[pred_off[r]] == r - 1)
+        chain[r] = 1;
+
+    std::vector<u8> dir((n + 1) * i64(N));
+    std::vector<Score> Hprev(N, NEGS), Hcur(N, NEGS);
+    auto src = [&](i64 i) { return Score(GAP * i); };
+    for (int r = 0; r < N; r++) {
+      int np = pred_off[r + 1] - pred_off[r];
+      if (np == 0) {
         Hprev[r] = src(0) + GAP;
         dir[r] = DIR_DEL_SRC;
       } else {
-        i64 best = NEG;
+        Score best = NEGS;
         int bk = 0;
-        const auto& ps = preds[nid];
-        for (int k = 0; k < int(ps.size()); k++) {
-          i64 v = Hprev[rank[ps[k]]];
+        for (int k = 0; k < np; k++) {
+          Score v = Hprev[pred_rank[pred_off[r] + k]];
           if (v > best) {
             best = v;
             bk = k;
@@ -161,38 +181,44 @@ struct Graph {
       u8 c = s[i - 1];
       u8* drow = dir.data() + i * N;
       for (int r = 0; r < N; r++) {
-        int nid = topo[r];
-        i64 sc = ch[nid] == c ? MATCH : MISMATCH;
-        i64 diag, dele;
+        Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
+        Score diag, dele;
         u8 dm, dd;
-        const auto& ps = preds[nid];
-        if (ps.empty()) {
-          diag = src(i - 1) + sc;
-          dele = src(i) + GAP;
-          dm = DIR_MATCH_SRC;
-          dd = DIR_DEL_SRC;
+        if (chain[r]) {
+          diag = Hprev[r - 1] + sc;
+          dele = Hcur[r - 1] + GAP;
+          dm = dir_match(0);
+          dd = dir_del(0);
         } else {
-          i64 bd = NEG, be = NEG;
-          int kd = 0, ke = 0;
-          for (int k = 0; k < int(ps.size()); k++) {
-            int pr = rank[ps[k]];
-            if (Hprev[pr] > bd) {
-              bd = Hprev[pr];
-              kd = k;
+          int np = pred_off[r + 1] - pred_off[r];
+          if (np == 0) {
+            diag = src(i - 1) + sc;
+            dele = src(i) + GAP;
+            dm = DIR_MATCH_SRC;
+            dd = DIR_DEL_SRC;
+          } else {
+            Score bd = NEGS, be = NEGS;
+            int kd = 0, ke = 0;
+            for (int k = 0; k < np; k++) {
+              int pr = pred_rank[pred_off[r] + k];
+              if (Hprev[pr] > bd) {
+                bd = Hprev[pr];
+                kd = k;
+              }
+              if (Hcur[pr] > be) {
+                be = Hcur[pr];
+                ke = k;
+              }
             }
-            if (Hcur[pr] > be) {
-              be = Hcur[pr];
-              ke = k;
-            }
+            diag = bd + sc;
+            dele = be + GAP;
+            dm = dir_match(kd);
+            dd = dir_del(ke);
           }
-          diag = bd + sc;
-          dele = be + GAP;
-          dm = dir_match(kd);
-          dd = dir_del(ke);
         }
-        i64 ins = Hprev[r] + GAP;
+        Score ins = Hprev[r] + GAP;
         // tie priority: match > deletion > insertion
-        i64 h;
+        Score h;
         u8 d;
         if (diag >= dele && diag >= ins) {
           h = diag;
