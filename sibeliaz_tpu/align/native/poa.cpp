@@ -16,6 +16,7 @@
 // buffer with offsets; MSA rows return the same way.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -128,9 +129,22 @@ struct Graph {
     std::vector<int> rank(ch.size());
     for (int r = 0; r < N; r++) rank[topo[r]] = r;
 
-    if ((n + 1) * i64(N) > budget) {
-      overflow = true;
-      return;
+    // Memory plan: full direction matrix when it fits; otherwise
+    // checkpointed traceback (save every C-th score row, refill direction
+    // rows per segment during traceback — ~2x compute, O(N*sqrt(n)) memory)
+    // so big blocks still get aligned instead of being dropped the way the
+    // reference's spoa-OOM path drops them.
+    bool full_dir = (n + 1) * i64(N) <= budget;
+    i64 C = 0;
+    if (!full_dir) {
+      C = std::max<i64>(64, i64(2 * std::sqrt(double(n + 1))));
+      while (C <= n + 1 &&
+             i64(N) * C + 4 * i64(N) * ((n + 1) / C + 2) > budget)
+        C *= 2;
+      if (i64(N) * C + 4 * i64(N) * ((n + 1) / C + 2) > budget) {
+        overflow = true;  // graph alone exceeds the budget
+        return;
+      }
     }
 
     // ---- DP: rolling rows + direction matrix ----
@@ -155,38 +169,37 @@ struct Graph {
       if (pred_off[r + 1] - pred_off[r] == 1 && pred_rank[pred_off[r]] == r - 1)
         chain[r] = 1;
 
-    std::vector<u8> dir((n + 1) * i64(N));
-    std::vector<Score> Hprev(N, NEGS), Hcur(N, NEGS);
     auto src = [&](i64 i) { return Score(GAP * i); };
-    for (int r = 0; r < N; r++) {
-      int np = pred_off[r + 1] - pred_off[r];
-      if (np == 0) {
-        Hprev[r] = src(0) + GAP;
-        dir[r] = DIR_DEL_SRC;
-      } else {
-        Score best = NEGS;
-        int bk = 0;
-        for (int k = 0; k < np; k++) {
-          Score v = Hprev[pred_rank[pred_off[r] + k]];
-          if (v > best) {
-            best = v;
-            bk = k;
+    auto fill_row0 = [&](Score* H, u8* drow) {
+      for (int r = 0; r < N; r++) {
+        int np = pred_off[r + 1] - pred_off[r];
+        if (np == 0) {
+          H[r] = src(0) + GAP;
+          if (drow) drow[r] = DIR_DEL_SRC;
+        } else {
+          Score best = NEGS;
+          int bk = 0;
+          for (int k = 0; k < np; k++) {
+            Score v = H[pred_rank[pred_off[r] + k]];
+            if (v > best) {
+              best = v;
+              bk = k;
+            }
           }
+          H[r] = best + GAP;
+          if (drow) drow[r] = dir_del(bk);
         }
-        Hprev[r] = best + GAP;
-        dir[r] = dir_del(bk);
       }
-    }
-    for (i64 i = 1; i <= n; i++) {
+    };
+    auto fill_row = [&](i64 i, const Score* Hp, Score* Hc, u8* drow) {
       u8 c = s[i - 1];
-      u8* drow = dir.data() + i * N;
       for (int r = 0; r < N; r++) {
         Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
         Score diag, dele;
         u8 dm, dd;
         if (chain[r]) {
-          diag = Hprev[r - 1] + sc;
-          dele = Hcur[r - 1] + GAP;
+          diag = Hp[r - 1] + sc;
+          dele = Hc[r - 1] + GAP;
           dm = dir_match(0);
           dd = dir_del(0);
         } else {
@@ -201,12 +214,12 @@ struct Graph {
             int kd = 0, ke = 0;
             for (int k = 0; k < np; k++) {
               int pr = pred_rank[pred_off[r] + k];
-              if (Hprev[pr] > bd) {
-                bd = Hprev[pr];
+              if (Hp[pr] > bd) {
+                bd = Hp[pr];
                 kd = k;
               }
-              if (Hcur[pr] > be) {
-                be = Hcur[pr];
+              if (Hc[pr] > be) {
+                be = Hc[pr];
                 ke = k;
               }
             }
@@ -216,7 +229,7 @@ struct Graph {
             dd = dir_del(ke);
           }
         }
-        Score ins = Hprev[r] + GAP;
+        Score ins = Hp[r] + GAP;
         // tie priority: match > deletion > insertion
         Score h;
         u8 d;
@@ -230,10 +243,36 @@ struct Graph {
           h = ins;
           d = DIR_INS;
         }
-        Hcur[r] = h;
-        drow[r] = d;
+        Hc[r] = h;
+        if (drow) drow[r] = d;
       }
-      std::swap(Hprev, Hcur);
+    };
+
+    std::vector<u8> dir;
+    std::vector<u8> dir0(N);
+    std::vector<Score> checkpoints;  // rows 0, C, 2C, ... (checkpoint mode)
+    std::vector<Score> Hprev(N, NEGS), Hcur(N, NEGS);
+    i64 n_ckpt = 0;
+    if (full_dir) {
+      dir.assign((n + 1) * i64(N), 0);
+      fill_row0(Hprev.data(), dir.data());
+      std::copy(dir.begin(), dir.begin() + N, dir0.begin());
+      for (i64 i = 1; i <= n; i++) {
+        fill_row(i, Hprev.data(), Hcur.data(), dir.data() + i * N);
+        std::swap(Hprev, Hcur);
+      }
+    } else {
+      n_ckpt = n / C + 1;
+      checkpoints.assign(n_ckpt * i64(N), NEGS);
+      fill_row0(Hprev.data(), dir0.data());
+      std::copy(Hprev.begin(), Hprev.end(), checkpoints.begin());
+      for (i64 i = 1; i <= n; i++) {
+        fill_row(i, Hprev.data(), Hcur.data(), nullptr);
+        std::swap(Hprev, Hcur);
+        if (i % C == 0 && i / C < n_ckpt)
+          std::copy(Hprev.begin(), Hprev.end(),
+                    checkpoints.begin() + (i / C) * i64(N));
+      }
     }
     // Hprev now holds row n.
 
@@ -246,7 +285,30 @@ struct Graph {
         best_r = r;
       }
 
-    // ---- traceback from the direction matrix ----
+    // ---- traceback from the (possibly segment-refilled) direction rows ---
+    std::vector<u8> dirseg;
+    i64 cur_seg = -1;
+    std::vector<Score> Ha(N), Hb(N);
+    auto get_dir = [&](i64 i, int r) -> u8 {
+      if (i == 0) return dir0[r];
+      if (full_dir) return dir[i * N + r];
+      i64 seg = (i - 1) / C;  // segment covers rows [seg*C+1, (seg+1)*C]
+      if (seg != cur_seg) {
+        cur_seg = seg;
+        i64 lo = seg * C;  // checkpoint row
+        i64 hi = std::min(lo + C, n);
+        dirseg.assign((hi - lo) * i64(N), 0);
+        std::copy(checkpoints.begin() + seg * i64(N),
+                  checkpoints.begin() + (seg + 1) * i64(N), Ha.begin());
+        for (i64 j = lo + 1; j <= hi; j++) {
+          fill_row(j, Ha.data(), Hb.data(),
+                   dirseg.data() + (j - lo - 1) * N);
+          std::swap(Ha, Hb);
+        }
+      }
+      return dirseg[(i - cur_seg * C - 1) * N + r];
+    };
+
     std::vector<std::pair<int, i64>> aln;
     i64 i = n;
     int r = best_r;
@@ -257,7 +319,7 @@ struct Graph {
         i--;
         continue;
       }
-      u8 d = dir[i * N + r];
+      u8 d = get_dir(i, r);
       int nid = topo[r];
       if (d == DIR_INS) {
         aln.push_back({-1, i - 1});

@@ -117,3 +117,29 @@ class TestMafAssembly:
                 expect = alphabet.seq_to_str(alphabet.reverse_complement(frag))
             assert ungapped == expect
         assert n_blocks_seen == res.blocks_found
+
+
+class TestCheckpointedTraceback:
+    def test_checkpoint_mode_equals_spec(self):
+        # budget too small for a full direction matrix but enough for
+        # checkpointed traceback -> same MSA as the spec
+        rng = np.random.default_rng(5)
+        base = alphabet.decode(rng.integers(0, 4, size=300).astype(np.uint8))
+        seqs = [base]
+        for _ in range(3):
+            seq = base.copy()
+            for p in np.flatnonzero(rng.random(len(seq)) < 0.05):
+                seq[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+            cut = int(rng.integers(0, len(seq) - 5))
+            seq = np.delete(seq, slice(cut, cut + 3))
+            seqs.append(seq)
+        expect = poa_ref.poa_msa(seqs)
+        got_full = msa_mod.poa_msa_batch([seqs])[0]
+        got_ckpt = msa_mod.poa_msa_batch([seqs], budget_bytes=60_000)[0]
+        assert got_full == expect
+        assert got_ckpt == expect
+
+    def test_tiny_budget_still_overflows(self):
+        seqs = [s("ACGT" * 50), s("ACGT" * 50)]
+        got = msa_mod.poa_msa_batch([seqs], budget_bytes=100)
+        assert got[0] is None
