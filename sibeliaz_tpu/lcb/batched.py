@@ -62,6 +62,88 @@ def used_range_any(
     return bool(p[hi_slot] - p[lo_slot])
 
 
+def first_votes(
+    table: JunctionTable,
+    bundles: Sequence[Bundle],
+    seeds: SeedBatch,
+    looking_depth: int,
+    max_branch: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched MostPopularVertex for freshly seeded lanes (lockstep walk).
+
+    On a fresh path the in-path test degenerates to `vid == origin`
+    (blocksfinder.h:708-768 with distanceKeeper holding only the origin),
+    and front == back for every instance so the forward walk starts at each
+    seed.  Every lane walks its instances in lockstep for W steps with
+    masks; votes accumulate per (lane, candidate) and the winner follows
+    the reference's exact rule: strictly-greater count, or equal count with
+    iterator-order-smaller origin (negative strand < positive, then chr,
+    then idx).
+
+    Returns (best_vid [lanes] int64, best_origin_slot [lanes] int32 — index
+    into the seed arrays, or -1, best_count [lanes] int64).  Exactness is
+    tested against the oracle on fresh paths; the used-retry variant and
+    extended-path generalization are the next slices.
+    """
+    lanes = len(bundles)
+    if lanes == 0:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int64),
+        )
+    origins = np.array([b.vid for b in bundles], dtype=np.int64)
+    best_vid = np.zeros(lanes, np.int64)
+    best_cnt = np.zeros(lanes, np.int64)
+    best_origin = np.full(lanes, -1, np.int32)
+
+    # NOTE on visit order: the reference's running-best tie rule depends on
+    # the order vote increments happen — instance-major, walk-step-minor
+    # (blocksfinder.h:714-756).  The device version therefore materializes
+    # the (instance, step) candidate grid and applies updates in (t, d)
+    # lexicographic order per lane (a per-lane scan, vectorized across
+    # lanes); this prototype spells that order out directly.
+    for b in range(lanes):
+        votes = {}
+        for t in range(int(seeds.n[b])):
+            c = int(seeds.chr[b, t])
+            i0 = int(seeds.idx[b, t])
+            s = int(seeds.strand[b, t])
+            okey = (s > 0, c, i0)  # iterator operator< key of the origin
+            opos = int(table.jpos[c][i0]) + (table.k if s < 0 else 0)
+            i = i0 + s
+            d = 1
+            jpos = table.jpos[c]
+            jid = table.jid[c]
+            used = table.used[c]
+            while 0 <= i < len(jpos):
+                pos = int(jpos[i]) + (table.k if s < 0 else 0)
+                if not (d < looking_depth or abs(pos - opos) <= max_branch):
+                    break
+                vid = s * int(jid[i])
+                u = bool(used[i]) if s > 0 else (bool(used[i - 1]) if i > 0 else False)
+                if vid == origins[b] or u:
+                    break
+                nc = votes.get(vid, 0) + 1  # single-point seeds weigh 1
+                votes[vid] = nc
+                if nc > best_cnt[b] or (
+                    nc == best_cnt[b]
+                    and best_origin[b] >= 0
+                    and okey
+                    < (
+                        int(seeds.strand[b, int(best_origin[b])]) > 0,
+                        int(seeds.chr[b, int(best_origin[b])]),
+                        int(seeds.idx[b, int(best_origin[b])]),
+                    )
+                ):
+                    best_cnt[b] = nc
+                    best_vid[b] = vid
+                    best_origin[b] = t
+                i += s
+                d += 1
+    return best_vid, best_origin, best_cnt
+
+
 def seed_batch(table: JunctionTable, bundles: Sequence[Bundle]) -> SeedBatch:
     """Vectorized Path.Init for every bundle of a phase.
 

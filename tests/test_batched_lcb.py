@@ -69,3 +69,24 @@ def test_used_prefix_range_queries():
         hi = int(rng.integers(lo, n + 1))
         expect = bool(table.used[c][lo:hi].any())
         assert batched.used_range_any(prefix, c, lo, hi) == expect
+
+
+def test_first_votes_match_oracle():
+    table, eng = build(503, length=2500, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:96]
+    seeds = batched.seed_batch(table, bundles)
+    vids, origins, counts = batched.first_votes(
+        table, bundles, seeds, looking_depth=8, max_branch=200
+    )
+    for b, bundle in enumerate(bundles):
+        path = LcbEngine.Path(eng)
+        path.init(bundle.vid, bundle.ch)
+        evid, eorigin, ecnt = eng.most_popular(path, forward=True, try_used=False)
+        assert int(vids[b]) == evid, f"bundle {b} vid"
+        assert int(counts[b]) == (ecnt if evid != 0 else 0), f"bundle {b} count"
+        if evid != 0:
+            t = int(origins[b])
+            got_origin = (
+                int(seeds.chr[b, t]), int(seeds.idx[b, t]), int(seeds.strand[b, t])
+            )
+            assert got_origin == (eorigin[0], eorigin[1], eorigin[2])
