@@ -15,11 +15,10 @@ graph construction is the distributed stage and analysis is one process.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

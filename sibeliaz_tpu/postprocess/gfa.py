@@ -17,8 +17,7 @@ Python-3 redesign of the reference's experimental helper pair
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, Sequence, TextIO, Tuple
+from typing import Dict, List, TextIO, Tuple
 
 import numpy as np
 

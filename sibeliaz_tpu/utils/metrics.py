@@ -11,7 +11,7 @@ import contextlib
 import json
 import os
 import time
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 
 class Metrics:
