@@ -278,10 +278,34 @@ struct Path {
     return left_body.empty() ? origin : left_body.back().first.u;
   }
 
+  // During a phase's parallel exploration `used` is frozen (writes happen
+  // only at serial commit), so the used-between scan degenerates to a range
+  // query over a per-phase exclusive prefix sum; serial re-runs (mutating
+  // `used`) fall back to the literal walk.
+  const i64* used_pfx = nullptr;
+
+  inline bool used_between(const It& start, const It& end) const {
+    if (used_pfx && start.c == end.c) {
+      i64 base = e.g.chr_off[start.c];
+      i64 lo, hi;  // strand-aware used-slot range [lo, hi)
+      if (start.s > 0) {
+        lo = start.i;
+        hi = end.i;  // slots idx for idx in [start.i, end.i)
+      } else {
+        lo = end.i;
+        hi = start.i;  // slots idx-1 for idx in (end.i, start.i]
+      }
+      if (hi <= lo) return false;
+      return used_pfx[base + hi] - used_pfx[base + lo] != 0;
+    }
+    for (It it = start; it != end; it = e.nxt(it))
+      if (e.is_used(it)) return true;
+    return false;
+  }
+
   bool compatible(const It& start, const It& end, const Edge& ed) const {
     if ((start.s > 0) != (end.s > 0)) return false;
-    for (It it = start; it != end; it = e.nxt(it))
-      if (e.is_used(it)) return false;
+    if (used_between(start, end)) return false;
     i64 real_diff = e.pos(end) - e.pos(start);
     i64 anc_diff = dist_get(e.vid(end)) - dist_get(e.vid(start));
     if (start.s > 0) {
@@ -514,8 +538,10 @@ static bool extend_backward(const Engine& e, Path& path, Scratch& sc,
 }
 
 static void process(const Engine& e, const Bundle& bu, Scratch& sc,
-                    std::vector<Inst>& out_best) {
+                    std::vector<Inst>& out_best,
+                    const i64* used_pfx = nullptr) {
   Path& path = sc.path;
+  path.used_pfx = used_pfx;
   path.clear();
   path.init(bu.vid, bu.ch);
   ProcState st;
@@ -633,8 +659,19 @@ static Result run(const Engine& e, i64 threads) {
   std::vector<Scratch*> scratch(nt, nullptr);
   for (int t = 0; t < nt; t++) scratch[t] = new Scratch(e);
   std::vector<std::vector<Inst>> results(phase_size);
+  // exclusive prefix of used flags over flat record slots; rebuilt whenever
+  // a commit marked junctions, valid for the next phase's frozen state
+  i64 total_slots = e.g.chr_off[e.g.n_chr];
+  std::vector<i64> used_pfx(total_slots + 1, 0);
+  bool pfx_dirty = true;
   while (phase < bundles.size()) {
     size_t limit = std::min(phase + phase_size, bundles.size());
+    if (pfx_dirty) {
+      for (i64 t = 0; t < total_slots; t++)
+        used_pfx[t + 1] = used_pfx[t] + (e.g.used[t] ? 1 : 0);
+      pfx_dirty = false;
+    }
+    size_t blocks_before = size_t(res.blocks_found);
     // exploration: read-only w.r.t. `used`, deterministic per bundle
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 1) num_threads(nt)
@@ -645,7 +682,8 @@ static Result run(const Engine& e, i64 threads) {
 #else
       int t = 0;
 #endif
-      process(e, bundles[idx], *scratch[t], results[idx - phase]);
+      process(e, bundles[idx], *scratch[t], results[idx - phase],
+              used_pfx.data());
     }
     // serial ordered commit with conflict re-run
     std::set<int32_t> invalid;
@@ -673,6 +711,7 @@ static Result run(const Engine& e, i64 threads) {
         }
       }
     }
+    if (size_t(res.blocks_found) != blocks_before) pfx_dirty = true;
     phase = limit;
   }
   for (int t = 0; t < nt; t++) delete scratch[t];
