@@ -1,0 +1,126 @@
+"""Benchmark harness for the BASELINE.md target configurations.
+
+Runs each configuration end-to-end on synthetic inputs shaped like the
+targets and prints a JSON line per config.  `bench.py` at the repo root
+remains the driver's single-metric benchmark; this harness is for broader
+tracking across rounds.
+
+  examples-pair-k15-noalign : 2 genomes x 4 chrs x 1.5 Mbp, k=15, -n
+  examples-full-maf         : same but with the POA/MAF stage
+  ecoli16-k15               : 16 strains x 1 Mbp, k=15 (with -a exercised)
+  yeast-k21-synteny         : 8 genomes x 1.5 Mbp, k=21 + synteny merge
+  chromosome-k25-streamed   : 2 x 64 Mbp, k=25 through the memory-bounded
+                              streamed graph mode
+
+Usage: python benchmarks/run_configs.py [config ...]   (default: fast set)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth(seed, n_genomes, n_chr, length, mut=0.01, invert=True):
+    from sibeliaz_tpu.core import alphabet
+
+    rng = np.random.default_rng(seed)
+    ancestors = [
+        alphabet.decode(rng.integers(0, 4, size=length).astype(np.uint8))
+        for _ in range(n_chr)
+    ]
+    seqs, names = [], []
+    for g in range(n_genomes):
+        for c, anc in enumerate(ancestors):
+            s = anc.copy()
+            pos = np.flatnonzero(rng.random(length) < mut)
+            s[pos] = alphabet.decode(
+                rng.integers(0, 4, size=len(pos)).astype(np.uint8)
+            )
+            if invert and g % 3 == 1:
+                lo = int(rng.integers(0, length // 2))
+                hi = lo + int(rng.integers(length // 8, length // 4))
+                s[lo:hi] = alphabet.reverse_complement(s[lo:hi])
+            seqs.append(s)
+            names.append(f"G{g + 1}.C{c + 1}")
+    return seqs, names
+
+
+def run_config(name):
+    from sibeliaz_tpu.config import Config
+    from sibeliaz_tpu.graph import construct, streamed
+    from sibeliaz_tpu import pipeline
+
+    threads = min(os.cpu_count() or 1, 32)
+    t0 = time.time()
+    extra = {}
+    if name == "examples-pair-k15-noalign":
+        seqs, names = synth(1, 2, 4, 1_500_000, mut=0.02)
+        cfg = Config(k=15, threads=threads)
+        records = construct.build_junctions(seqs, cfg.k)
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
+    elif name == "examples-full-maf":
+        from sibeliaz_tpu.align import msa as msa_mod
+
+        seqs, names = synth(1, 2, 2, 400_000, mut=0.03)
+        cfg = Config(k=15, threads=threads)
+        records = construct.build_junctions(seqs, cfg.k)
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
+        msa_mod.align_blocks_to_maf(
+            res.blocks, seqs, names, "/tmp/bench_cfg.maf",
+            cmd=name, threads=threads,
+        )
+        extra["maf_bytes"] = os.path.getsize("/tmp/bench_cfg.maf")
+    elif name == "ecoli16-k15":
+        seqs, names = synth(2, 16, 1, 1_000_000, mut=0.01)
+        cfg = Config(k=15, threads=threads, abundance_threshold=64)
+        records = construct.build_junctions(seqs, cfg.k)
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
+    elif name == "yeast-k21-synteny":
+        from sibeliaz_tpu.postprocess import synteny
+
+        seqs, names = synth(3, 8, 1, 1_500_000, mut=0.015)
+        cfg = Config(k=21, threads=threads)
+        records = construct.build_junctions(seqs, cfg.k)
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
+        with open("/tmp/bench_cfg.gff", "w") as f:
+            f.write(res.gff)
+        synteny.run("/tmp/bench_cfg.gff", "/tmp/bench_cfg_syn", [5000])
+        extra["synteny"] = True
+    elif name == "chromosome-k25-streamed":
+        seqs, names = synth(4, 2, 1, 64_000_000, mut=0.01, invert=False)
+        cfg = Config(k=25, threads=threads)
+        records = streamed.build_junctions_streamed(
+            seqs, cfg.k, n_rounds=4
+        )
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
+    else:
+        raise SystemExit(f"unknown config {name}")
+    elapsed = time.time() - t0
+    total_mbp = sum(len(s) for s in seqs) / 1e6
+    print(
+        json.dumps(
+            {
+                "config": name,
+                "input_mbp": round(total_mbp, 1),
+                "seconds": round(elapsed, 2),
+                "mbp_per_s": round(total_mbp / elapsed, 3),
+                "blocks": res.blocks_found,
+                "coverage": round(res.coverage, 4),
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+
+
+FAST = ["examples-pair-k15-noalign", "ecoli16-k15", "yeast-k21-synteny"]
+
+if __name__ == "__main__":
+    configs = sys.argv[1:] or FAST
+    for c in configs:
+        run_config(c)

@@ -20,9 +20,32 @@ k <= 31 fits int64); we enable it globally at import, before any JAX
 computation happens.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the junction kernels compile in minutes on
+# the remote TPU toolchain; caching makes that a once-per-machine cost.
+try:
+    _cache_dir = _os.environ.get(
+        "SIBELIAZ_TPU_COMPILE_CACHE",
+        _os.path.join(
+            _os.environ.get(
+                "XDG_CACHE_HOME",
+                _os.path.join(_os.path.expanduser("~"), ".cache"),
+            ),
+            "sibeliaz_tpu",
+            "jax_cache",
+        ),
+    )
+    if _cache_dir and _cache_dir != "0":
+        _os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # pragma: no cover — cache is best-effort
+    pass
 
 from sibeliaz_tpu.config import Config  # noqa: E402
 

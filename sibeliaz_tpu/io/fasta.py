@@ -85,6 +85,10 @@ def _parse_buffer(data: bytes, path: str) -> List[FastaRecord]:
 def read_fasta(path: str) -> List[FastaRecord]:
     with open(path, "rb") as f:
         data = f.read()
+    if data[:2] == b"\x1f\x8b":  # gzip magic — .fa.gz inputs just work
+        import gzip
+
+        data = gzip.decompress(data)
     return _parse_buffer(data, path)
 
 

@@ -77,3 +77,14 @@ def test_dbg_binary_layout(tmp_path):
     assert struct.unpack("<Iq", raw[0:12]) == (7, -3)
     assert struct.unpack("<Iq", raw[12:24]) == (0xFFFFFFFF, 2**63 - 1)
     assert struct.unpack("<Iq", raw[24:36]) == (1, 4)
+
+
+def test_fasta_gzip(tmp_path):
+    import gzip
+
+    p = tmp_path / "a.fa.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(">chr1\nACGTACGT\n")
+    recs = fasta.read_fasta(str(p))
+    assert [r.name for r in recs] == ["chr1"]
+    assert alphabet.seq_to_str(recs[0].seq) == "ACGTACGT"
