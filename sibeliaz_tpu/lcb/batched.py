@@ -21,8 +21,11 @@ exactness-tested against the oracle engine:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sibeliaz_tpu.junctions.table import JunctionTable
@@ -142,6 +145,193 @@ def first_votes(
                 i += s
                 d += 1
     return best_vid, best_origin, best_cnt
+
+
+def first_votes_device(
+    table: JunctionTable,
+    bundles: Sequence[Bundle],
+    seeds: SeedBatch,
+    looking_depth: int,
+    max_branch: int,
+    max_window: int = 64,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Device formulation of first_votes (one jit program per shape bucket).
+
+    Key reduction insight (this is what makes the voting batchable): the
+    reference's running-best update — replace on strictly-greater count, or
+    equal count with iterator-smaller origin (blocksfinder.h:735) — looks
+    order-sensitive, but its fixed point is order-free: only events whose
+    running per-vid count equals the lane's final maximum can own the
+    result, each candidate vid contributes exactly one such event (its last
+    increment), and among those the winner is the minimum (origin-order,
+    arrival-order).  So the whole vote is two segmented reductions over a
+    sorted event table — no sequential scan.
+
+    The lookahead walk is evaluated as a [lanes, seeds, W] lockstep grid
+    with prefix-AND live masks; lanes whose walk would exceed W steps are
+    flagged for host fallback (4th return value) to preserve exactness.
+
+    Returns (best_vid, best_origin_slot, best_count, overflow) per lane.
+    """
+    lanes = len(bundles)
+    if lanes == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.astype(np.int32), z, np.zeros(0, bool)
+    cap = max(1, seeds.chr.shape[1])
+    W = max_window
+
+    # flat per-chromosome tables for device gathers
+    chr_off = np.zeros(table.n_chr + 1, dtype=np.int64)
+    for c in range(table.n_chr):
+        chr_off[c + 1] = chr_off[c] + len(table.jpos[c])
+    jpos_all = (
+        np.concatenate(table.jpos) if table.n_chr else np.zeros(0, np.int64)
+    )
+    jid_all = (
+        np.concatenate(table.jid) if table.n_chr else np.zeros(0, np.int64)
+    )
+    used_all = (
+        np.concatenate(table.used) if table.n_chr else np.zeros(0, np.uint8)
+    )
+    origins = np.array([b.vid for b in bundles], dtype=np.int64)
+    chr_len = np.diff(chr_off)
+
+    out = _first_votes_kernel(
+        jnp.asarray(seeds.chr.astype(np.int32)),
+        jnp.asarray(seeds.idx.astype(np.int64)),
+        jnp.asarray(seeds.strand.astype(np.int32)),
+        jnp.asarray(seeds.n.astype(np.int32)),
+        jnp.asarray(chr_off),
+        jnp.asarray(chr_len),
+        jnp.asarray(jpos_all),
+        jnp.asarray(jid_all),
+        jnp.asarray(used_all),
+        jnp.asarray(origins),
+        int(table.k),
+        int(looking_depth),
+        int(max_branch),
+        W,
+        cap,
+    )
+    best_vid, best_slot, best_cnt, overflow = [np.asarray(x) for x in out]
+    return best_vid, best_slot, best_cnt, overflow > 0
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))
+def _first_votes_kernel(
+    s_chr, s_idx, s_str, s_n, chr_off, chr_len, jpos, jid, used, origins,
+    k, depth, b, W, cap,
+):
+    lanes = s_chr.shape[0]
+    t_live = (
+        jnp.arange(cap, dtype=jnp.int32)[None, :] < s_n[:, None]
+    )  # [lanes, cap]
+    base = chr_off[jnp.maximum(s_chr, 0).astype(jnp.int64)]
+    L = chr_len[jnp.maximum(s_chr, 0).astype(jnp.int64)]
+    s64 = s_str.astype(jnp.int64)
+    opos = jnp.where(
+        t_live,
+        jpos[jnp.clip(base + s_idx, 0, jpos.shape[0] - 1)]
+        + jnp.where(s64 < 0, k, 0),
+        0,
+    )
+
+    d = jnp.arange(1, W + 1, dtype=jnp.int64)  # [W]
+    it_i = s_idx[:, :, None] + s64[:, :, None] * d[None, None, :]
+    in_range = (it_i >= 0) & (it_i < L[:, :, None])
+    flat = jnp.clip(base[:, :, None] + it_i, 0, jpos.shape[0] - 1)
+    pos = jpos[flat] + jnp.where(s64[:, :, None] < 0, k, 0)
+    within = (d[None, None, :] < depth) | (
+        jnp.abs(pos - opos[:, :, None]) <= b
+    )
+    vid = s64[:, :, None] * jid[flat]
+    uslot = jnp.where(s64[:, :, None] > 0, flat, flat - 1)
+    u = jnp.where(
+        (s64[:, :, None] > 0) | (it_i > 0),
+        used[jnp.clip(uslot, 0, used.shape[0] - 1)] > 0,
+        False,
+    )
+    blocked = (vid == origins[:, None, None]) | u
+    cont = t_live[:, :, None] & in_range & within & ~blocked
+    # prefix-AND along the walk: a step counts only if all prior steps did
+    alive = jnp.cumprod(cont.astype(jnp.int32), axis=2) > 0  # [lanes,cap,W]
+    # overflow: some walk was still alive at the last window step
+    overflow = jnp.any(alive[:, :, W - 1], axis=1).astype(jnp.int32)
+
+    # event table: one row per alive (lane, seed t, step d); weights are 1
+    # for single-point seeds so the per-vid final count is the run length.
+    okey = (
+        ((s_str > 0).astype(jnp.int64) << 62)
+        | (s_chr.astype(jnp.int64) << 40)
+        | s_idx
+    )  # origin iterator order: (positive-strand, chr, idx)
+    arrival = (
+        jnp.arange(cap, dtype=jnp.int64)[None, :, None] * W
+        + (d - 1)[None, None, :]
+    )  # (t, d) lexicographic
+    V = jnp.max(jnp.abs(jid)) + 1
+    lane_of = jnp.broadcast_to(
+        jnp.arange(lanes, dtype=jnp.int64)[:, None, None], vid.shape
+    )
+    key = jnp.where(
+        alive, lane_of * (2 * V + 1) + (vid + V), jnp.int64(-1)
+    ).reshape(-1)
+    arr_f = jnp.broadcast_to(arrival, vid.shape).reshape(-1)
+    okey_f = jnp.broadcast_to(okey[:, :, None], vid.shape).reshape(-1)
+    vid_f = vid.reshape(-1)
+    slot_f = jnp.broadcast_to(
+        jnp.arange(cap, dtype=jnp.int64)[None, :, None], vid.shape
+    ).reshape(-1)
+
+    # sort 1: by (lane,vid) then arrival; a segment's length is the final
+    # count and its last row is the vid's final (count-achieving) event
+    k2, a2, o2, v2, sl2 = jax.lax.sort(
+        (key, arr_f, okey_f, vid_f, slot_f), num_keys=2
+    )
+    n = k2.shape[0]
+    ridx = jnp.arange(n, dtype=jnp.int64)
+    seg_start = jnp.concatenate([jnp.ones(1, dtype=bool), k2[1:] != k2[:-1]])
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
+    start_rank = jax.lax.cummax(jnp.where(seg_start, ridx, -1))
+    final_cnt = ridx - start_rank + 1
+    is_final = seg_end & (k2 >= 0)
+
+    # sort 2: winner per lane = min (count desc, origin order, arrival)
+    # among final events — the reduction the running-best fold converges to
+    SENT = jnp.int64(1) << 60
+    lane2 = jnp.where(is_final, k2 // (2 * V + 1), jnp.int64(lanes))
+    neg = jnp.where(is_final, -final_cnt, SENT)
+    k3, n3, o3, a3, v3, s3 = jax.lax.sort(
+        (
+            lane2,
+            neg,
+            jnp.where(is_final, o2, SENT),
+            jnp.where(is_final, a2, SENT),
+            v2,
+            sl2,
+        ),
+        num_keys=4,
+    )
+    lane_start = jnp.concatenate([jnp.ones(1, dtype=bool), k3[1:] != k3[:-1]])
+    win_rows = jnp.where(lane_start & (k3 < lanes), k3, jnp.int64(lanes))
+    best_vid = (
+        jnp.zeros(lanes + 1, jnp.int64).at[win_rows].set(v3, mode="drop")
+    )[:lanes]
+    best_cnt = (
+        jnp.zeros(lanes + 1, jnp.int64).at[win_rows].set(-n3, mode="drop")
+    )[:lanes]
+    best_slot = (
+        jnp.zeros(lanes + 1, jnp.int64).at[win_rows].set(s3, mode="drop")
+    )[:lanes].astype(jnp.int32)
+    has = (
+        jnp.zeros(lanes + 1, jnp.int32)
+        .at[win_rows]
+        .set(jnp.ones_like(win_rows, jnp.int32), mode="drop")
+    )[:lanes]
+    best_vid = jnp.where(has > 0, best_vid, 0)
+    best_cnt = jnp.where(has > 0, best_cnt, 0)
+    best_slot = jnp.where(has > 0, best_slot, -1)
+    return best_vid, best_slot, best_cnt, overflow
 
 
 def seed_batch(table: JunctionTable, bundles: Sequence[Bundle]) -> SeedBatch:

@@ -90,3 +90,23 @@ def test_first_votes_match_oracle():
                 int(seeds.chr[b, t]), int(seeds.idx[b, t]), int(seeds.strand[b, t])
             )
             assert got_origin == (eorigin[0], eorigin[1], eorigin[2])
+
+
+def test_first_votes_device_matches_host():
+    table, eng = build(504, length=2500, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:64]
+    seeds = batched.seed_batch(table, bundles)
+    h_vid, h_org, h_cnt = batched.first_votes(
+        table, bundles, seeds, looking_depth=8, max_branch=200
+    )
+    d_vid, d_org, d_cnt, overflow = batched.first_votes_device(
+        table, bundles, seeds, looking_depth=8, max_branch=200, max_window=128
+    )
+    for b in range(len(bundles)):
+        if overflow[b]:
+            continue  # fallback lanes are allowed to defer to the host
+        assert int(d_vid[b]) == int(h_vid[b]), f"lane {b} vid"
+        assert int(d_cnt[b]) == int(h_cnt[b]), f"lane {b} cnt"
+        assert int(d_org[b]) == int(h_org[b]), f"lane {b} origin"
+    # the window should be big enough that most lanes stay on device
+    assert overflow.sum() <= len(bundles) // 4
