@@ -110,3 +110,64 @@ def test_first_votes_device_matches_host():
         assert int(d_org[b]) == int(h_org[b]), f"lane {b} origin"
     # the window should be big enough that most lanes stay on device
     assert overflow.sum() <= len(bundles) // 4
+
+
+def test_push_back_batch_matches_oracle():
+    from sibeliaz_tpu.lcb import batched_push
+
+    table, eng = build(505, length=2500, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:48]
+
+    lanes, paths, edge_lists = [], [], []
+    for bundle in bundles:
+        st = batched_push.LaneState.seed(eng, bundle.vid, bundle.ch)
+        path = LcbEngine.Path(eng)
+        path.init(bundle.vid, bundle.ch)
+        lanes.append(st)
+        paths.append(path)
+        # edges: walk from the first-vote origin toward the winner, exactly
+        # like ExtendPathForward's push loop
+        vid, origin, cnt = eng.most_popular(path, forward=True, try_used=False)
+        edges = []
+        if vid != 0:
+            it = origin
+            while eng.vid(it) != vid and len(edges) < 12:
+                edges.append(eng.out_edge(it))
+                it = eng.nxt(it)
+        edge_lists.append(edges)
+
+    max_pushes = max((len(e) for e in edge_lists), default=0)
+    for step in range(max_pushes):
+        step_edges = [
+            el[step] if step < len(el) else None for el in edge_lists
+        ]
+        got = batched_push.push_back_batch(eng, lanes, step_edges)
+        for b, edge in enumerate(step_edges):
+            if edge is None:
+                continue
+            expect = paths[b].push_back(edge)
+            assert got[b] == expect, f"lane {b} step {step} success flag"
+
+    # compare final states exhaustively
+    for b, (st, path) in enumerate(zip(lanes, paths)):
+        inst_sorted = []
+        for c in range(eng.t.n_chr):
+            inst_sorted.extend(path.isets[c])
+        assert st.n == len(inst_sorted), f"lane {b} instance count"
+        for q, inst in enumerate(inst_sorted):
+            assert int(st.chr[q]) == inst.c, f"lane {b} inst {q} chr"
+            assert int(st.s[q]) == inst.s
+            assert int(st.fi[q]) == inst.fi
+            assert int(st.bi[q]) == inst.bi
+            assert int(st.fdist[q]) == inst.fdist
+            assert int(st.bdist[q]) == inst.bdist
+            assert int(st.cmp[q]) == inst.cmp
+            assert bool(st.bfin[q]) == inst.bfin
+        # good list in append order
+        good_idx = st.good_list_order()
+        got_good = [
+            (int(st.chr[q]), int(st.fi[q]), int(st.bi[q])) for q in good_idx
+        ]
+        expect_good = [(i.c, i.fi, i.bi) for i in path.good]
+        assert got_good == expect_good, f"lane {b} good list"
+        assert st.right_flank == path.right_flank
