@@ -208,6 +208,25 @@ def _compatible(
     s_inst = int(st.s[q])
     start = (c, int(st.bi[q]), s_inst)
     end = seq_it
+    return _compat(eng, st, start, end, edge)
+
+
+def _compatible_front(
+    eng: LcbEngine,
+    st: LaneState,
+    q: int,
+    seq_it: Tuple[int, int, int],
+    edge,
+) -> bool:
+    """Path.compatible(seq_it, front_of(inst q), edge) against lane state."""
+    c = int(st.chr[q])
+    s_inst = int(st.s[q])
+    start = seq_it
+    end = (c, int(st.fi[q]), s_inst)
+    return _compat(eng, st, start, end, edge)
+
+
+def _compat(eng, st, start, end, edge) -> bool:
     if (start[2] > 0) != (end[2] > 0):
         return False
     # used-between via literal walk (prototype; device uses prefix sums)
@@ -218,7 +237,7 @@ def _compatible(
             return False
         it = eng.nxt(it)
         guard += 1
-        if guard > len(eng.t.jpos[c]) + 2:
+        if guard > len(eng.t.jpos[start[0]]) + 2:
             return False
     real_diff = eng.pos(end) - eng.pos(start)
     anc_diff = st.dist[eng.vid(end)] - st.dist[eng.vid(start)]

@@ -171,3 +171,73 @@ def test_push_back_batch_matches_oracle():
         expect_good = [(i.c, i.fi, i.bi) for i in path.good]
         assert got_good == expect_good, f"lane {b} good list"
         assert st.right_flank == path.right_flank
+
+
+def test_process_batch_matches_oracle_process():
+    from sibeliaz_tpu.lcb.batched_process import process_batch
+
+    table, eng = build(506, length=2500, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:64]
+    got = process_batch(eng, bundles)
+    for b, bundle in enumerate(bundles):
+        expect = eng.process(bundle)
+        g = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist) for i in got[b]]
+        e = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist) for i in expect]
+        assert g == e, f"bundle {b} ({bundle.vid},{bundle.ch})"
+
+
+def test_batched_engine_full_gff_byte_equal():
+    """Full phase/commit protocol with batched exploration must reproduce
+    the oracle engine's (and therefore the reference's) GFF exactly."""
+    from sibeliaz_tpu.lcb.batched_process import process_batch
+    from sibeliaz_tpu.output import gff as gff_mod
+    from sibeliaz_tpu.output import trim as trim_mod
+
+    seqs, names = random_related_genomes(507, length=2500, mut=0.03,
+                                         rearrange=True)
+    cfg = Config(k=15)
+
+    def run_with(explorer):
+        table = pipeline.build_table(seqs, names, cfg)
+        eng = LcbEngine(table, cfg.min_block_size, cfg.max_branch_size,
+                        cfg.flanking)
+        bundles = eng.make_bundles()
+        phase = 0
+        while phase < len(bundles):
+            limit = min(phase + 256, len(bundles))
+            results = explorer(eng, bundles[phase:limit])
+            invalid = set()
+            for idx in range(phase, limit):
+                instances = results[idx - phase]
+                if len(instances) > 1:
+                    is_good = True
+                    for inst in instances:
+                        if inst.c not in invalid:
+                            continue
+                        it = (inst.c, inst.fi, inst.s)
+                        back = (inst.c, inst.bi, inst.s)
+                        while it != back:
+                            if eng.is_used(it):
+                                is_good = False
+                                break
+                            it = eng.nxt(it)
+                        if not is_good:
+                            break
+                    if is_good:
+                        eng.finalize(instances, invalid)
+                    else:
+                        eng.failures += 1
+                        instances = eng.process(bundles[idx])
+                        if len(instances) > 1:
+                            eng.finalize(instances, invalid)
+            phase = limit
+        chr_lengths = [len(s) for s in seqs]
+        blocks, _ = trim_mod.trim_blocks(eng.blocks, chr_lengths,
+                                         cfg.min_block_size)
+        return gff_mod.render_gff(blocks, names, chr_lengths)
+
+    gff_batched = run_with(process_batch)
+    gff_oracle = run_with(
+        lambda eng, bs: [eng.process(b) for b in bs]
+    )
+    assert gff_batched == gff_oracle
