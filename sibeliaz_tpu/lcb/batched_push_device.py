@@ -1,0 +1,502 @@
+"""Device (jnp) PointPushBack over a batch of lanes — the last batched-LCB
+primitive, porting lcb/batched_push.py's lockstep to one jit program.
+
+Lane state lives in padded [lanes, I_CAP] arrays (instances sorted by the
+(chr, cmp) key) plus a sorted (vid -> distance) path-membership table of
+capacity P_CAP.  One call applies push_back(edge_l) to every lane l:
+
+  * membership test + path-table insert: per-lane searchsorted + masked
+    shift,
+  * a fori_loop over the occurrence index j (the reference processes a
+    vertex's occurrences in order, and later steps observe earlier
+    mutations — so j is the sequential axis, lanes the vector axis),
+  * per step: upper_bound via vmapped searchsorted, the Within test,
+    strand-dependent candidate pick, the compatibility test with
+    used-between as a *range query over the phase-frozen used prefix sums*
+    (the batched explorer runs against a frozen snapshot, exactly like the
+    reference's speculative phase), the branch-bound adjacency escape, and
+    either an in-place ChangeBack or a masked-shift insert.
+
+Exactness: verified state-identical to the host lockstep (and therefore to
+the oracle Path) across lanes and multi-step pushes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sibeliaz_tpu.junctions.table import JunctionTable
+from sibeliaz_tpu.lcb.batched_push import I_CAP, LaneState
+from sibeliaz_tpu.lcb.oracle import LcbEngine
+
+P_CAP = 1024  # path vertices per lane
+BIG = jnp.int64(1) << 60
+
+
+@dataclasses.dataclass
+class DeviceTables:
+    """Flat device copies of the junction table + phase-frozen used prefix."""
+
+    chr_off: jnp.ndarray  # [n_chr+1]
+    chr_len: jnp.ndarray  # [n_chr]
+    jpos: jnp.ndarray  # [total]
+    jid: jnp.ndarray  # [total]
+    used_pfx: jnp.ndarray  # [total+1] exclusive prefix of used flags
+    used: jnp.ndarray  # [total] the frozen flags themselves
+    seq_off: jnp.ndarray  # [n_chr+1]
+    seq: jnp.ndarray  # [sum len] uint8
+    occ_off: jnp.ndarray  # [V+1]
+    occ_chr: jnp.ndarray
+    occ_idx: jnp.ndarray
+    k: int
+
+    @classmethod
+    def build(cls, table: JunctionTable) -> "DeviceTables":
+        n_chr = table.n_chr
+        chr_off = np.zeros(n_chr + 1, np.int64)
+        for c in range(n_chr):
+            chr_off[c + 1] = chr_off[c] + len(table.jpos[c])
+        used_all = (
+            np.concatenate(table.used) if n_chr else np.zeros(0, np.uint8)
+        )
+        pfx = np.zeros(len(used_all) + 1, np.int64)
+        np.cumsum(used_all, out=pfx[1:])
+        seq_off = np.zeros(n_chr + 1, np.int64)
+        for c in range(n_chr):
+            seq_off[c + 1] = seq_off[c] + len(table.seqs[c])
+        return cls(
+            chr_off=jnp.asarray(chr_off),
+            chr_len=jnp.asarray(np.diff(chr_off)),
+            jpos=jnp.asarray(
+                np.concatenate(table.jpos) if n_chr else np.zeros(0, np.int64)
+            ),
+            jid=jnp.asarray(
+                np.concatenate(table.jid) if n_chr else np.zeros(0, np.int64)
+            ),
+            used_pfx=jnp.asarray(pfx),
+            used=jnp.asarray(used_all),
+            seq_off=jnp.asarray(seq_off),
+            seq=jnp.asarray(
+                np.concatenate(table.seqs) if n_chr else np.zeros(0, np.uint8)
+            ),
+            occ_off=jnp.asarray(table.occ_off.astype(np.int64)),
+            occ_chr=jnp.asarray(table.occ_chr.astype(np.int64)),
+            occ_idx=jnp.asarray(table.occ_idx.astype(np.int64)),
+            k=table.k,
+        )
+
+
+@dataclasses.dataclass
+class DeviceLanes:
+    """Batched lane state on device (instance arrays + path table)."""
+
+    chr: jnp.ndarray  # [L, I_CAP] int64, -1 pad (sorted with cmp key)
+    s: jnp.ndarray  # [L, I_CAP] int64 (+-1)
+    fi: jnp.ndarray
+    bi: jnp.ndarray
+    fdist: jnp.ndarray
+    bdist: jnp.ndarray
+    cmp: jnp.ndarray
+    ffin: jnp.ndarray  # bool
+    bfin: jnp.ndarray  # bool
+    good_seq: jnp.ndarray  # int64, -1 = not good
+    insert_seq: jnp.ndarray
+    n: jnp.ndarray  # [L]
+    next_good: jnp.ndarray  # [L]
+    next_insert: jnp.ndarray  # [L]
+    right_flank: jnp.ndarray  # [L]
+    left_flank: jnp.ndarray  # [L]
+    overflow: jnp.ndarray  # [L] bool
+    pvid: jnp.ndarray  # [L, P_CAP] int64 sorted, BIG pad
+    pdist: jnp.ndarray  # [L, P_CAP] int64
+    pn: jnp.ndarray  # [L]
+
+    @classmethod
+    def from_host(cls, lanes: Sequence[LaneState]) -> "DeviceLanes":
+        L = len(lanes)
+
+        def stack(attr, dtype=np.int64):
+            return jnp.asarray(
+                np.stack([getattr(st, attr).astype(dtype) for st in lanes])
+            )
+
+        pvid = np.full((L, P_CAP), int(2**60), np.int64)
+        pdist = np.zeros((L, P_CAP), np.int64)
+        pn = np.zeros(L, np.int64)
+        for l, st in enumerate(lanes):
+            items = sorted(st.dist.items())
+            pn[l] = len(items)
+            for t, (v, dv) in enumerate(items):
+                pvid[l, t] = v
+                pdist[l, t] = dv
+        return cls(
+            chr=stack("chr"), s=stack("s"), fi=stack("fi"), bi=stack("bi"),
+            fdist=stack("fdist"), bdist=stack("bdist"), cmp=stack("cmp"),
+            ffin=stack("ffin", bool), bfin=stack("bfin", bool),
+            good_seq=stack("good_seq"), insert_seq=stack("insert_seq"),
+            n=jnp.asarray(np.array([st.n for st in lanes], np.int64)),
+            next_good=jnp.asarray(
+                np.array([st.next_good for st in lanes], np.int64)
+            ),
+            next_insert=jnp.asarray(
+                np.array([st.next_insert for st in lanes], np.int64)
+            ),
+            right_flank=jnp.asarray(
+                np.array([st.right_flank for st in lanes], np.int64)
+            ),
+            left_flank=jnp.asarray(
+                np.array([st.left_flank for st in lanes], np.int64)
+            ),
+            overflow=jnp.asarray(
+                np.array([st.overflow for st in lanes], bool)
+            ),
+            pvid=jnp.asarray(pvid),
+            pdist=jnp.asarray(pdist),
+            pn=jnp.asarray(pn),
+        )
+
+    def to_host(self, lanes: Sequence[LaneState]) -> None:
+        """Write device state back into the host LaneStates (for tests)."""
+        host = {
+            f: np.asarray(getattr(self, f))
+            for f in (
+                "chr", "s", "fi", "bi", "fdist", "bdist", "cmp", "ffin",
+                "bfin", "good_seq", "insert_seq", "n", "next_good",
+                "next_insert", "right_flank", "left_flank", "overflow",
+                "pvid", "pdist", "pn",
+            )
+        }
+        for l, st in enumerate(lanes):
+            st.chr = host["chr"][l].astype(np.int32)
+            st.s = host["s"][l].astype(np.int8)
+            for f in ("fi", "bi", "fdist", "bdist", "cmp", "good_seq",
+                      "insert_seq"):
+                setattr(st, f, host[f][l].astype(np.int64))
+            st.ffin = host["ffin"][l].astype(bool)
+            st.bfin = host["bfin"][l].astype(bool)
+            st.n = int(host["n"][l])
+            st.next_good = int(host["next_good"][l])
+            st.next_insert = int(host["next_insert"][l])
+            st.right_flank = int(host["right_flank"][l])
+            st.left_flank = int(host["left_flank"][l])
+            st.overflow = bool(host["overflow"][l])
+            st.dist = {
+                int(v): int(d)
+                for v, d in zip(
+                    host["pvid"][l][: int(host["pn"][l])],
+                    host["pdist"][l][: int(host["pn"][l])],
+                )
+            }
+
+
+def _row_insert(arr, p, val, n):
+    """Insert val at position p (shift right); rows are [L, CAP]."""
+    L, CAP = arr.shape
+    col = jnp.arange(CAP, dtype=jnp.int64)[None, :]
+    shifted = jnp.concatenate([arr[:, :1], arr[:, :-1]], axis=1)
+    return jnp.where(
+        col < p[:, None],
+        arr,
+        jnp.where(col == p[:, None], val[:, None], shifted),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=())
+def _push_back_device(max_occ, tb: DeviceTables, ln: DeviceLanes,
+                      eu, ev, ech, elen, evalid, m, b):
+    """Apply push_back((eu,ev,ech,...,elen)) to every lane where evalid."""
+    L = ln.chr.shape[0]
+    lanes_i = jnp.arange(L, dtype=jnp.int64)
+
+    # ---- membership + path-table insert ----
+    pp = jax.vmap(jnp.searchsorted)(ln.pvid, ev)
+    member = (
+        jnp.take_along_axis(ln.pvid, pp[:, None], axis=1)[:, 0] == ev
+    ) & (pp < ln.pn)
+    success = evalid & ~member & ~ln.overflow
+    end_d = ln.right_flank + elen
+    pvid = jnp.where(
+        success[:, None], _row_insert(ln.pvid, pp, ev, ln.pn), ln.pvid
+    )
+    pdist = jnp.where(
+        success[:, None], _row_insert(ln.pdist, pp, end_d, ln.pn), ln.pdist
+    )
+    pn = jnp.where(success, ln.pn + 1, ln.pn)
+    poverflow = ln.overflow | (success & (ln.pn >= P_CAP - 1))
+
+    av = jnp.abs(ev)
+    occ_lo = tb.occ_off[jnp.clip(av, 0, tb.occ_off.shape[0] - 2)]
+    occ_cnt = tb.occ_off[jnp.clip(av + 1, 0, tb.occ_off.shape[0] - 1)] - occ_lo
+
+    state = dict(
+        chr=ln.chr, s=ln.s, fi=ln.fi, bi=ln.bi, fdist=ln.fdist,
+        bdist=ln.bdist, cmp=ln.cmp, ffin=ln.ffin, bfin=ln.bfin,
+        good_seq=ln.good_seq, insert_seq=ln.insert_seq, n=ln.n,
+        next_good=ln.next_good, next_insert=ln.next_insert,
+        overflow=poverflow,
+    )
+
+    def occ_step(j, state):
+        act = success & (j < occ_cnt) & ~state["overflow"]
+        oi = jnp.clip(occ_lo + j, 0, tb.occ_chr.shape[0] - 1)
+        c = tb.occ_chr[oi]
+        i = tb.occ_idx[oi]
+        base = tb.chr_off[jnp.clip(c, 0, tb.chr_off.shape[0] - 2)]
+        stored = tb.jid[jnp.clip(base + i, 0, tb.jid.shape[0] - 1)]
+        s_ = jnp.where(stored == ev, jnp.int64(1), jnp.int64(-1))
+
+        keys = (state["chr"] << 40) | state["cmp"]
+        keys = jnp.where(
+            jnp.arange(I_CAP, dtype=jnp.int64)[None, :] < state["n"][:, None],
+            keys,
+            BIG,
+        )
+        kq = (c << 40) | i
+        p = jax.vmap(functools.partial(jnp.searchsorted, side="right"))(
+            keys, kq
+        )
+
+        def gather(f, q):
+            return jnp.take_along_axis(
+                state[f], jnp.clip(q, 0, I_CAP - 1)[:, None], axis=1
+            )[:, 0]
+
+        in_chr = (p < state["n"]) & (gather("chr", p) == c)
+        fi_p, bi_p = gather("fi", p), gather("bi", p)
+        within = in_chr & (jnp.minimum(fi_p, bi_p) <= i) & (
+            i <= jnp.maximum(fi_p, bi_p)
+        )
+
+        cand = jnp.where(s_ > 0, p - 1, p)
+        cand_ok = jnp.where(
+            s_ > 0,
+            (p - 1 >= 0) & (gather("chr", p - 1) == c),
+            in_chr,
+        )
+
+        # ---- compatibility (start = cand.back, end = seq_it) ----
+        cc = gather("chr", cand)
+        cs = gather("s", cand)
+        cbi = gather("bi", cand)
+        same_strand = cs == s_
+        # used-between range query over strand-aware slots
+        lo_slot = jnp.where(s_ > 0, cbi, i)
+        hi_slot = jnp.where(s_ > 0, i, cbi)
+        cbase = tb.chr_off[jnp.clip(cc, 0, tb.chr_off.shape[0] - 2)]
+        qlo = jnp.clip(cbase + lo_slot, 0, tb.used_pfx.shape[0] - 1)
+        qhi = jnp.clip(cbase + hi_slot, 0, tb.used_pfx.shape[0] - 1)
+        used_between = jnp.where(
+            hi_slot > lo_slot, tb.used_pfx[qhi] - tb.used_pfx[qlo] > 0, False
+        )
+        posq = tb.jpos[jnp.clip(base + i, 0, tb.jpos.shape[0] - 1)] + (
+            jnp.where(s_ < 0, tb.k, 0)
+        )
+        poss = tb.jpos[jnp.clip(cbase + cbi, 0, tb.jpos.shape[0] - 1)] + (
+            jnp.where(cs < 0, tb.k, 0)
+        )
+        real_diff = posq - poss
+        # ancestral diff: dist[end vid] - dist[start vid]
+        svid = cs * tb.jid[jnp.clip(cbase + cbi, 0, tb.jid.shape[0] - 1)]
+        sp = jax.vmap(jnp.searchsorted)(pvid, svid)
+        sdist = jnp.take_along_axis(
+            pdist, jnp.clip(sp, 0, P_CAP - 1)[:, None], axis=1
+        )[:, 0]
+        anc_diff = end_d - sdist
+        dir_ok = jnp.where(s_ > 0, real_diff >= 0, -real_diff >= 0)
+        over = (jnp.abs(real_diff) > b) | (anc_diff > b)
+        # adjacency escape: start.Next() valid, chars match, end == next,
+        # next vid == edge end vertex
+        nxt_i = cbi + cs
+        nxt_valid = (nxt_i >= 0) & (
+            nxt_i < tb.chr_len[jnp.clip(cc, 0, tb.chr_len.shape[0] - 1)]
+        )
+        # it_char(start): + -> seq[pos+k] (0 at end), - -> comp(seq[pos-1])
+        spos_abs = tb.jpos[jnp.clip(cbase + cbi, 0, tb.jpos.shape[0] - 1)]
+        sq_off = tb.seq_off[jnp.clip(cc, 0, tb.seq_off.shape[0] - 2)]
+        sq_len = (
+            tb.seq_off[jnp.clip(cc + 1, 0, tb.seq_off.shape[0] - 1)] - sq_off
+        )
+        ch_plus = jnp.where(
+            spos_abs + tb.k < sq_len,
+            tb.seq[jnp.clip(sq_off + spos_abs + tb.k, 0, tb.seq.shape[0] - 1)],
+            0,
+        )
+        prev_byte = tb.seq[
+            jnp.clip(sq_off + spos_abs - 1, 0, tb.seq.shape[0] - 1)
+        ]
+        comp_tbl = jnp.array(
+            [0] * 65 + [ord("T")] + [0] * 1 + [ord("G")] + [0] * 3
+            + [ord("C")] + [0] * 12 + [ord("A")] + [0] * 171,
+            dtype=jnp.int64,
+        )  # index 'A'=65 -> T, 'C'=67 -> G, 'G'=71 -> C, 'T'=84 -> A
+        ch_minus = jnp.where(
+            spos_abs > 0,
+            jnp.where(
+                comp_tbl[prev_byte] > 0, comp_tbl[prev_byte], ord("N")
+            ),
+            ord("N"),
+        )
+        start_char = jnp.where(cs > 0, ch_plus, ch_minus)
+        nvid = cs * tb.jid[
+            jnp.clip(cbase + jnp.clip(nxt_i, 0, None), 0, tb.jid.shape[0] - 1)
+        ]
+        end_is_next = (nxt_i == i) & (cc == c) & (cs == s_)
+        escape = (
+            nxt_valid & (start_char == ech) & end_is_next & (nvid == ev)
+        )
+        compat = (
+            cand_ok
+            & same_strand
+            & ~used_between
+            & dir_ok
+            & (~over | escape)
+        )
+
+        cback_vid = svid
+        do_update = act & ~within & compat & (cback_vid != ev)
+        cbfin = gather("bfin", cand)
+        do_change = do_update & ~cbfin
+        # used flag of seq_it (strand-aware point query)
+        uslot = jnp.where(s_ > 0, base + i, base + i - 1)
+        u = jnp.where(
+            (s_ > 0) | (i > 0),
+            tb.used[jnp.clip(uslot, 0, tb.used.shape[0] - 1)] > 0,
+            False,
+        )
+
+        # ChangeBack
+        jp_f = tb.jpos[jnp.clip(cbase + gather("fi", cand), 0, tb.jpos.shape[0] - 1)]
+        jp_b_old = tb.jpos[jnp.clip(cbase + cbi, 0, tb.jpos.shape[0] - 1)]
+        was_good = jnp.abs(jp_f - jp_b_old) >= m
+        jp_b_new = tb.jpos[jnp.clip(base + i, 0, tb.jpos.shape[0] - 1)]
+        now_good = jnp.abs(jp_f - jp_b_new) >= m
+
+        def set_at(f, val, mask):
+            cur = state[f]
+            upd = cur.at[lanes_i, jnp.clip(cand, 0, I_CAP - 1)].set(
+                jnp.where(mask, val, cur[lanes_i, jnp.clip(cand, 0, I_CAP - 1)])
+            )
+            return upd
+
+        state["bi"] = set_at("bi", i, do_change)
+        state["bdist"] = set_at("bdist", end_d, do_change)
+        state["cmp"] = set_at(
+            "cmp", i, do_change & (cs > 0)
+        )
+        newly_good = do_change & ~was_good & now_good
+        state["good_seq"] = set_at("good_seq", state["next_good"], newly_good)
+        state["next_good"] = jnp.where(
+            newly_good, state["next_good"] + 1, state["next_good"]
+        )
+        state["bfin"] = set_at("bfin", True, do_change & u)
+
+        # insert new instance
+        do_insert = act & ~within & ~(compat & cand_ok & (cback_vid != ev)) & ~u
+        # NOTE: reference inserts when (newInstance or back.vid == vertex)
+        # and !used; newInstance = !compat(with cand present)
+        do_insert = act & ~within & ~u & ~(
+            compat & (cback_vid != ev)
+        )
+        room = state["n"] < I_CAP
+        ins = do_insert & room
+        state["overflow"] = state["overflow"] | (do_insert & ~room)
+        for f, val in (
+            ("chr", c), ("s", s_), ("fi", i), ("bi", i),
+            ("fdist", end_d), ("bdist", end_d), ("cmp", i),
+            ("insert_seq", state["next_insert"]),
+        ):
+            shifted = _row_insert(state[f], p, val, state["n"])
+            state[f] = jnp.where(ins[:, None], shifted, state[f])
+        for f in ("ffin", "bfin"):
+            shifted = _row_insert(
+                state[f].astype(jnp.int64), p, jnp.zeros(L, jnp.int64),
+                state["n"],
+            ).astype(bool)
+            state[f] = jnp.where(ins[:, None], shifted, state[f])
+        shifted = _row_insert(
+            state["good_seq"], p, jnp.full((L,), -1, jnp.int64), state["n"]
+        )
+        state["good_seq"] = jnp.where(ins[:, None], shifted, state["good_seq"])
+        state["n"] = jnp.where(ins, state["n"] + 1, state["n"])
+        state["next_insert"] = jnp.where(
+            ins, state["next_insert"] + 1, state["next_insert"]
+        )
+        return state
+
+    state = jax.lax.fori_loop(0, max_occ, occ_step, state)
+    right_flank = jnp.where(success, end_d, ln.right_flank)
+    out = DeviceLanes(
+        chr=state["chr"], s=state["s"], fi=state["fi"], bi=state["bi"],
+        fdist=state["fdist"], bdist=state["bdist"], cmp=state["cmp"],
+        ffin=state["ffin"], bfin=state["bfin"],
+        good_seq=state["good_seq"], insert_seq=state["insert_seq"],
+        n=state["n"], next_good=state["next_good"],
+        next_insert=state["next_insert"], right_flank=right_flank,
+        left_flank=ln.left_flank, overflow=state["overflow"],
+        pvid=pvid, pdist=pdist, pn=pn,
+    )
+    return out, success
+
+
+jax.tree_util.register_pytree_node(
+    DeviceLanes,
+    lambda ln: (
+        tuple(getattr(ln, f.name) for f in dataclasses.fields(ln)),
+        None,
+    ),
+    lambda aux, ch: DeviceLanes(*ch),
+)
+jax.tree_util.register_pytree_node(
+    DeviceTables,
+    lambda tb: (
+        tuple(
+            getattr(tb, f.name)
+            for f in dataclasses.fields(tb)
+            if f.name != "k"
+        ),
+        tb.k,
+    ),
+    lambda aux, ch: DeviceTables(*ch, k=aux),
+)
+
+
+def push_back_batch_device(
+    table: JunctionTable,
+    lanes: Sequence[LaneState],
+    edges: Sequence[Optional[Tuple[int, int, int, int, int]]],
+    eng: LcbEngine,
+) -> List[bool]:
+    """Device counterpart of push_back_batch; mutates the host LaneStates
+    with the device results.  Requires a phase-frozen `used` state."""
+    tb = DeviceTables.build(table)
+    ln = DeviceLanes.from_host(lanes)
+    L = len(lanes)
+    eu = np.zeros(L, np.int64)
+    ev = np.zeros(L, np.int64)
+    ech = np.zeros(L, np.int64)
+    elen = np.zeros(L, np.int64)
+    evalid = np.zeros(L, bool)
+    max_occ = 1
+    for l, edge in enumerate(edges):
+        if edge is None:
+            continue
+        eu[l], ev[l], ech[l], _, elen[l] = edge
+        evalid[l] = True
+        v = abs(edge[1])
+        max_occ = max(
+            max_occ, int(table.occ_off[v + 1] - table.occ_off[v])
+        )
+    out, success = _push_back_device(
+        int(max_occ), tb, ln,
+        jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(ech),
+        jnp.asarray(elen), jnp.asarray(evalid),
+        jnp.int64(eng.m), jnp.int64(eng.b),
+    )
+    out.to_host(lanes)
+    return [bool(x) for x in np.asarray(success)]

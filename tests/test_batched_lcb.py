@@ -241,3 +241,46 @@ def test_batched_engine_full_gff_byte_equal():
         lambda eng, bs: [eng.process(b) for b in bs]
     )
     assert gff_batched == gff_oracle
+
+
+def test_push_back_device_matches_host():
+    from sibeliaz_tpu.lcb import batched_push
+    from sibeliaz_tpu.lcb.batched_push_device import push_back_batch_device
+
+    table, eng = build(508, length=2000, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:32]
+
+    lanes_h, lanes_d, edge_lists = [], [], []
+    for bundle in bundles:
+        lanes_h.append(batched_push.LaneState.seed(eng, bundle.vid, bundle.ch))
+        lanes_d.append(batched_push.LaneState.seed(eng, bundle.vid, bundle.ch))
+        path = LcbEngine.Path(eng)
+        path.init(bundle.vid, bundle.ch)
+        vid, origin, cnt = eng.most_popular(path, forward=True, try_used=False)
+        edges = []
+        if vid != 0:
+            it = origin
+            while eng.vid(it) != vid and len(edges) < 8:
+                edges.append(eng.out_edge(it))
+                it = eng.nxt(it)
+        edge_lists.append(edges)
+
+    max_pushes = max((len(e) for e in edge_lists), default=0)
+    for step in range(max_pushes):
+        step_edges = [
+            el[step] if step < len(el) else None for el in edge_lists
+        ]
+        got_h = batched_push.push_back_batch(eng, lanes_h, step_edges)
+        got_d = push_back_batch_device(table, lanes_d, step_edges, eng)
+        assert got_d == got_h, f"success flags at step {step}"
+        for b in range(len(bundles)):
+            h, d = lanes_h[b], lanes_d[b]
+            assert h.n == d.n, f"lane {b} n @step {step}"
+            for f in ("chr", "s", "fi", "bi", "fdist", "bdist", "cmp",
+                      "ffin", "bfin", "good_seq", "insert_seq"):
+                a = getattr(h, f)[: h.n]
+                bb = getattr(d, f)[: d.n]
+                assert np.array_equal(a, bb), f"lane {b} field {f} @step {step}"
+            assert h.right_flank == d.right_flank
+            assert h.next_good == d.next_good
+            assert h.dist == d.dist, f"lane {b} dist @step {step}"
