@@ -284,3 +284,58 @@ def test_push_back_device_matches_host():
             assert h.right_flank == d.right_flank
             assert h.next_good == d.next_good
             assert h.dist == d.dist, f"lane {b} dist @step {step}"
+
+
+def test_score_device_matches_host():
+    from sibeliaz_tpu.lcb import batched_push
+    from sibeliaz_tpu.lcb.batched_process import LaneProcess
+    from sibeliaz_tpu.lcb.batched_score import score_batch_device
+
+    table, eng = build(509, length=2000, mut=0.04, rearrange=True)
+    bundles = eng.make_bundles()[:32]
+    procs = [LaneProcess(eng, b) for b in bundles]
+    # drive a few extensions so flanks/instances are non-trivial
+    for p in procs:
+        st = {"score": 0, "best_score": 0, "best_right": 1, "best_left": 1,
+              "best_instance": []}
+        p.extend(True, st)
+        p.extend(True, st)
+    got = score_batch_device(table, [p.st for p in procs], eng.flank)
+    for b, p in enumerate(procs):
+        assert got[b] == p.score(), f"lane {b}"
+
+
+def test_vote_device_matches_host_general():
+    from sibeliaz_tpu.lcb.batched_process import LaneProcess
+    from sibeliaz_tpu.lcb.batched_vote import vote_batch_device
+
+    table, eng = build(510, length=2500, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:48]
+    procs = [LaneProcess(eng, b) for b in bundles]
+    for p in procs:  # extend so paths are non-trivial
+        st = {"score": 0, "best_score": 0, "best_right": 1, "best_left": 1,
+              "best_instance": []}
+        p.extend(True, st)
+        p.extend(True, st)
+
+    for forward, try_used in ((True, False), (True, True), (False, False)):
+        start_vids = [
+            p.right_vertex() if forward else p.left_vertex() for p in procs
+        ]
+        d_vid, d_slot, d_cnt, ovf = vote_batch_device(
+            table, [p.st for p in procs], start_vids, forward, try_used,
+            eng.depth, eng.b, max_window=256,
+        )
+        for b, p in enumerate(procs):
+            if ovf[b]:
+                continue
+            h_vid, h_origin, h_cnt = p.most_popular(forward, try_used)
+            assert int(d_vid[b]) == h_vid, f"{forward},{try_used} lane {b} vid"
+            if h_vid != 0:
+                assert int(d_cnt[b]) == h_cnt, f"lane {b} cnt"
+                st = p.st
+                q = int(d_slot[b])
+                end_i = int(st.bi[q]) if forward else int(st.fi[q])
+                got_origin = (int(st.chr[q]), end_i, int(st.s[q]))
+                assert got_origin == h_origin, f"lane {b} origin"
+        assert ovf.sum() <= len(bundles) // 4
