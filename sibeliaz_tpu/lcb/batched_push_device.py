@@ -207,30 +207,35 @@ def _row_insert(arr, p, val, n):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=())
-def _push_back_device(max_occ, tb: DeviceTables, ln: DeviceLanes,
-                      eu, ev, ech, elen, evalid, m, b):
-    """Apply push_back((eu,ev,ech,...,elen)) to every lane where evalid."""
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=())
+def _push_device(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
+                 eu, ev, ech, elen, evalid, m, b):
+    """Apply push_back (forward=True) or push_front to every valid lane.
+
+    Direction differences are Python-static branches: pushed vertex (edge
+    end vs start), distance sign, candidate polarity, compatibility
+    endpoint roles, and which end of the instance mutates."""
     L = ln.chr.shape[0]
     lanes_i = jnp.arange(L, dtype=jnp.int64)
+    vtx = ev if forward else eu
 
     # ---- membership + path-table insert ----
-    pp = jax.vmap(jnp.searchsorted)(ln.pvid, ev)
+    pp = jax.vmap(jnp.searchsorted)(ln.pvid, vtx)
     member = (
-        jnp.take_along_axis(ln.pvid, pp[:, None], axis=1)[:, 0] == ev
+        jnp.take_along_axis(ln.pvid, pp[:, None], axis=1)[:, 0] == vtx
     ) & (pp < ln.pn)
     success = evalid & ~member & ~ln.overflow
-    end_d = ln.right_flank + elen
+    dval = ln.right_flank + elen if forward else ln.left_flank - elen
     pvid = jnp.where(
-        success[:, None], _row_insert(ln.pvid, pp, ev, ln.pn), ln.pvid
+        success[:, None], _row_insert(ln.pvid, pp, vtx, ln.pn), ln.pvid
     )
     pdist = jnp.where(
-        success[:, None], _row_insert(ln.pdist, pp, end_d, ln.pn), ln.pdist
+        success[:, None], _row_insert(ln.pdist, pp, dval, ln.pn), ln.pdist
     )
     pn = jnp.where(success, ln.pn + 1, ln.pn)
     poverflow = ln.overflow | (success & (ln.pn >= P_CAP - 1))
 
-    av = jnp.abs(ev)
+    av = jnp.abs(vtx)
     occ_lo = tb.occ_off[jnp.clip(av, 0, tb.occ_off.shape[0] - 2)]
     occ_cnt = tb.occ_off[jnp.clip(av + 1, 0, tb.occ_off.shape[0] - 1)] - occ_lo
 
@@ -249,7 +254,7 @@ def _push_back_device(max_occ, tb: DeviceTables, ln: DeviceLanes,
         i = tb.occ_idx[oi]
         base = tb.chr_off[jnp.clip(c, 0, tb.chr_off.shape[0] - 2)]
         stored = tb.jid[jnp.clip(base + i, 0, tb.jid.shape[0] - 1)]
-        s_ = jnp.where(stored == ev, jnp.int64(1), jnp.int64(-1))
+        s_ = jnp.where(stored == vtx, jnp.int64(1), jnp.int64(-1))
 
         keys = (state["chr"] << 40) | state["cmp"]
         keys = jnp.where(
@@ -273,51 +278,51 @@ def _push_back_device(max_occ, tb: DeviceTables, ln: DeviceLanes,
             i <= jnp.maximum(fi_p, bi_p)
         )
 
-        cand = jnp.where(s_ > 0, p - 1, p)
-        cand_ok = jnp.where(
-            s_ > 0,
-            (p - 1 >= 0) & (gather("chr", p - 1) == c),
-            in_chr,
-        )
+        use_prev = (s_ > 0) if forward else (s_ < 0)
+        cand = jnp.where(use_prev, p - 1, p)
+        prev_ok = (p - 1 >= 0) & (gather("chr", p - 1) == c)
+        cand_ok = jnp.where(use_prev, prev_ok, in_chr)
 
-        # ---- compatibility (start = cand.back, end = seq_it) ----
+        # ---- compatibility ----
         cc = gather("chr", cand)
         cs = gather("s", cand)
-        cbi = gather("bi", cand)
+        cend = gather("bi" if forward else "fi", cand)  # cand's mutable end
         same_strand = cs == s_
-        # used-between range query over strand-aware slots
-        lo_slot = jnp.where(s_ > 0, cbi, i)
-        hi_slot = jnp.where(s_ > 0, i, cbi)
+        # strand-aware used-slot range between start and end iterators
+        if forward:
+            start_i, end_i = cend, i  # start = cand.back, end = seq_it
+        else:
+            start_i, end_i = i, cend  # start = seq_it, end = cand.front
+        lo_slot = jnp.where(s_ > 0, start_i, end_i)
+        hi_slot = jnp.where(s_ > 0, end_i, start_i)
         cbase = tb.chr_off[jnp.clip(cc, 0, tb.chr_off.shape[0] - 2)]
         qlo = jnp.clip(cbase + lo_slot, 0, tb.used_pfx.shape[0] - 1)
         qhi = jnp.clip(cbase + hi_slot, 0, tb.used_pfx.shape[0] - 1)
         used_between = jnp.where(
             hi_slot > lo_slot, tb.used_pfx[qhi] - tb.used_pfx[qlo] > 0, False
         )
-        posq = tb.jpos[jnp.clip(base + i, 0, tb.jpos.shape[0] - 1)] + (
-            jnp.where(s_ < 0, tb.k, 0)
-        )
-        poss = tb.jpos[jnp.clip(cbase + cbi, 0, tb.jpos.shape[0] - 1)] + (
-            jnp.where(cs < 0, tb.k, 0)
-        )
-        real_diff = posq - poss
-        # ancestral diff: dist[end vid] - dist[start vid]
-        svid = cs * tb.jid[jnp.clip(cbase + cbi, 0, tb.jid.shape[0] - 1)]
-        sp = jax.vmap(jnp.searchsorted)(pvid, svid)
-        sdist = jnp.take_along_axis(
-            pdist, jnp.clip(sp, 0, P_CAP - 1)[:, None], axis=1
+        pos_start = tb.jpos[
+            jnp.clip(cbase + start_i, 0, tb.jpos.shape[0] - 1)
+        ] + jnp.where(s_ < 0, tb.k, 0)
+        pos_end = tb.jpos[
+            jnp.clip(cbase + end_i, 0, tb.jpos.shape[0] - 1)
+        ] + jnp.where(s_ < 0, tb.k, 0)
+        real_diff = pos_end - pos_start
+        # ancestral diff = dist[end.vid] - dist[start.vid]
+        cvid = cs * tb.jid[jnp.clip(cbase + cend, 0, tb.jid.shape[0] - 1)]
+        cp = jax.vmap(jnp.searchsorted)(pvid, cvid)
+        cdist = jnp.take_along_axis(
+            pdist, jnp.clip(cp, 0, P_CAP - 1)[:, None], axis=1
         )[:, 0]
-        anc_diff = end_d - sdist
+        anc_diff = (dval - cdist) if forward else (cdist - dval)
         dir_ok = jnp.where(s_ > 0, real_diff >= 0, -real_diff >= 0)
         over = (jnp.abs(real_diff) > b) | (anc_diff > b)
-        # adjacency escape: start.Next() valid, chars match, end == next,
-        # next vid == edge end vertex
-        nxt_i = cbi + cs
+        # adjacency escape: start.Next() == end, chars match, next vid == ev
+        nxt_i = start_i + s_
         nxt_valid = (nxt_i >= 0) & (
             nxt_i < tb.chr_len[jnp.clip(cc, 0, tb.chr_len.shape[0] - 1)]
         )
-        # it_char(start): + -> seq[pos+k] (0 at end), - -> comp(seq[pos-1])
-        spos_abs = tb.jpos[jnp.clip(cbase + cbi, 0, tb.jpos.shape[0] - 1)]
+        spos_abs = tb.jpos[jnp.clip(cbase + start_i, 0, tb.jpos.shape[0] - 1)]
         sq_off = tb.seq_off[jnp.clip(cc, 0, tb.seq_off.shape[0] - 2)]
         sq_len = (
             tb.seq_off[jnp.clip(cc + 1, 0, tb.seq_off.shape[0] - 1)] - sq_off
@@ -334,35 +339,26 @@ def _push_back_device(max_occ, tb: DeviceTables, ln: DeviceLanes,
             [0] * 65 + [ord("T")] + [0] * 1 + [ord("G")] + [0] * 3
             + [ord("C")] + [0] * 12 + [ord("A")] + [0] * 171,
             dtype=jnp.int64,
-        )  # index 'A'=65 -> T, 'C'=67 -> G, 'G'=71 -> C, 'T'=84 -> A
+        )
         ch_minus = jnp.where(
             spos_abs > 0,
-            jnp.where(
-                comp_tbl[prev_byte] > 0, comp_tbl[prev_byte], ord("N")
-            ),
+            jnp.where(comp_tbl[prev_byte] > 0, comp_tbl[prev_byte], ord("N")),
             ord("N"),
         )
-        start_char = jnp.where(cs > 0, ch_plus, ch_minus)
-        nvid = cs * tb.jid[
+        start_char = jnp.where(s_ > 0, ch_plus, ch_minus)
+        nvid = s_ * tb.jid[
             jnp.clip(cbase + jnp.clip(nxt_i, 0, None), 0, tb.jid.shape[0] - 1)
         ]
-        end_is_next = (nxt_i == i) & (cc == c) & (cs == s_)
-        escape = (
-            nxt_valid & (start_char == ech) & end_is_next & (nvid == ev)
-        )
+        end_is_next = nxt_i == end_i
+        escape = nxt_valid & (start_char == ech) & end_is_next & (nvid == ev)
         compat = (
-            cand_ok
-            & same_strand
-            & ~used_between
-            & dir_ok
-            & (~over | escape)
+            cand_ok & same_strand & ~used_between & dir_ok & (~over | escape)
         )
 
-        cback_vid = svid
-        do_update = act & ~within & compat & (cback_vid != ev)
-        cbfin = gather("bfin", cand)
-        do_change = do_update & ~cbfin
-        # used flag of seq_it (strand-aware point query)
+        do_update = act & ~within & compat & (cvid != vtx)
+        fin_f = "bfin" if forward else "ffin"
+        cfin = gather(fin_f, cand)
+        do_change = do_update & ~cfin
         uslot = jnp.where(s_ > 0, base + i, base + i - 1)
         u = jnp.where(
             (s_ > 0) | (i > 0),
@@ -370,45 +366,42 @@ def _push_back_device(max_occ, tb: DeviceTables, ln: DeviceLanes,
             False,
         )
 
-        # ChangeBack
-        jp_f = tb.jpos[jnp.clip(cbase + gather("fi", cand), 0, tb.jpos.shape[0] - 1)]
-        jp_b_old = tb.jpos[jnp.clip(cbase + cbi, 0, tb.jpos.shape[0] - 1)]
-        was_good = jnp.abs(jp_f - jp_b_old) >= m
-        jp_b_new = tb.jpos[jnp.clip(base + i, 0, tb.jpos.shape[0] - 1)]
-        now_good = jnp.abs(jp_f - jp_b_new) >= m
+        other_f = "fi" if forward else "bi"
+        jp_other = tb.jpos[
+            jnp.clip(cbase + gather(other_f, cand), 0, tb.jpos.shape[0] - 1)
+        ]
+        jp_end_old = tb.jpos[jnp.clip(cbase + cend, 0, tb.jpos.shape[0] - 1)]
+        was_good = jnp.abs(jp_other - jp_end_old) >= m
+        jp_end_new = tb.jpos[jnp.clip(base + i, 0, tb.jpos.shape[0] - 1)]
+        now_good = jnp.abs(jp_other - jp_end_new) >= m
 
         def set_at(f, val, mask):
             cur = state[f]
-            upd = cur.at[lanes_i, jnp.clip(cand, 0, I_CAP - 1)].set(
-                jnp.where(mask, val, cur[lanes_i, jnp.clip(cand, 0, I_CAP - 1)])
+            ci = jnp.clip(cand, 0, I_CAP - 1)
+            return cur.at[lanes_i, ci].set(
+                jnp.where(mask, val, cur[lanes_i, ci])
             )
-            return upd
 
-        state["bi"] = set_at("bi", i, do_change)
-        state["bdist"] = set_at("bdist", end_d, do_change)
-        state["cmp"] = set_at(
-            "cmp", i, do_change & (cs > 0)
-        )
+        end_f = "bi" if forward else "fi"
+        dist_f = "bdist" if forward else "fdist"
+        state[end_f] = set_at(end_f, i, do_change)
+        state[dist_f] = set_at(dist_f, dval, do_change)
+        cmp_strand = (cs > 0) if forward else (cs < 0)
+        state["cmp"] = set_at("cmp", i, do_change & cmp_strand)
         newly_good = do_change & ~was_good & now_good
         state["good_seq"] = set_at("good_seq", state["next_good"], newly_good)
         state["next_good"] = jnp.where(
             newly_good, state["next_good"] + 1, state["next_good"]
         )
-        state["bfin"] = set_at("bfin", True, do_change & u)
+        state[fin_f] = set_at(fin_f, True, do_change & u)
 
-        # insert new instance
-        do_insert = act & ~within & ~(compat & cand_ok & (cback_vid != ev)) & ~u
-        # NOTE: reference inserts when (newInstance or back.vid == vertex)
-        # and !used; newInstance = !compat(with cand present)
-        do_insert = act & ~within & ~u & ~(
-            compat & (cback_vid != ev)
-        )
+        do_insert = act & ~within & ~u & ~(compat & (cvid != vtx))
         room = state["n"] < I_CAP
         ins = do_insert & room
         state["overflow"] = state["overflow"] | (do_insert & ~room)
         for f, val in (
             ("chr", c), ("s", s_), ("fi", i), ("bi", i),
-            ("fdist", end_d), ("bdist", end_d), ("cmp", i),
+            ("fdist", dval), ("bdist", dval), ("cmp", i),
             ("insert_seq", state["next_insert"]),
         ):
             shifted = _row_insert(state[f], p, val, state["n"])
@@ -430,7 +423,12 @@ def _push_back_device(max_occ, tb: DeviceTables, ln: DeviceLanes,
         return state
 
     state = jax.lax.fori_loop(0, max_occ, occ_step, state)
-    right_flank = jnp.where(success, end_d, ln.right_flank)
+    right_flank = (
+        jnp.where(success, dval, ln.right_flank) if forward else ln.right_flank
+    )
+    left_flank = (
+        ln.left_flank if forward else jnp.where(success, dval, ln.left_flank)
+    )
     out = DeviceLanes(
         chr=state["chr"], s=state["s"], fi=state["fi"], bi=state["bi"],
         fdist=state["fdist"], bdist=state["bdist"], cmp=state["cmp"],
@@ -438,7 +436,7 @@ def _push_back_device(max_occ, tb: DeviceTables, ln: DeviceLanes,
         good_seq=state["good_seq"], insert_seq=state["insert_seq"],
         n=state["n"], next_good=state["next_good"],
         next_insert=state["next_insert"], right_flank=right_flank,
-        left_flank=ln.left_flank, overflow=state["overflow"],
+        left_flank=left_flank, overflow=state["overflow"],
         pvid=pvid, pdist=pdist, pn=pn,
     )
     return out, success
@@ -466,17 +464,30 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def push_back_batch_device(
-    table: JunctionTable,
-    lanes: Sequence[LaneState],
-    edges: Sequence[Optional[Tuple[int, int, int, int, int]]],
-    eng: LcbEngine,
-) -> List[bool]:
-    """Device counterpart of push_back_batch; mutates the host LaneStates
-    with the device results.  Requires a phase-frozen `used` state."""
-    tb = DeviceTables.build(table)
-    ln = DeviceLanes.from_host(lanes)
+def _pad_lanes(lanes):
+    """Pad the lane list to a power of two with throwaway empty states so
+    jit shapes bucket (the trailing results are discarded)."""
     L = len(lanes)
+    Lp = 1 << (L - 1).bit_length() if L > 1 else 1
+    padded = list(lanes)
+    while len(padded) < Lp:
+        padded.append(LaneState(
+            origin=0, n=0,
+            chr=np.full(I_CAP, -1, np.int32), s=np.zeros(I_CAP, np.int8),
+            fi=np.zeros(I_CAP, np.int64), bi=np.zeros(I_CAP, np.int64),
+            fdist=np.zeros(I_CAP, np.int64), bdist=np.zeros(I_CAP, np.int64),
+            cmp=np.zeros(I_CAP, np.int64), ffin=np.zeros(I_CAP, bool),
+            bfin=np.zeros(I_CAP, bool), good_seq=np.full(I_CAP, -1, np.int64),
+            insert_seq=np.zeros(I_CAP, np.int64), dist={0: 0},
+        ))
+    return padded
+
+
+def _run_push(table, lanes, edges, eng, forward):
+    tb = DeviceTables.build(table)
+    lanes_p = _pad_lanes(lanes)
+    ln = DeviceLanes.from_host(lanes_p)
+    L = len(lanes_p)
     eu = np.zeros(L, np.int64)
     ev = np.zeros(L, np.int64)
     ech = np.zeros(L, np.int64)
@@ -488,15 +499,37 @@ def push_back_batch_device(
             continue
         eu[l], ev[l], ech[l], _, elen[l] = edge
         evalid[l] = True
-        v = abs(edge[1])
+        v = abs(edge[1] if forward else edge[0])
         max_occ = max(
             max_occ, int(table.occ_off[v + 1] - table.occ_off[v])
         )
-    out, success = _push_back_device(
-        int(max_occ), tb, ln,
+    max_occ = 1 << (max_occ - 1).bit_length() if max_occ > 1 else 1
+    out, success = _push_device(
+        int(max_occ), forward, tb, ln,
         jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(ech),
         jnp.asarray(elen), jnp.asarray(evalid),
         jnp.int64(eng.m), jnp.int64(eng.b),
     )
-    out.to_host(lanes)
-    return [bool(x) for x in np.asarray(success)]
+    out.to_host(lanes_p)
+    return [bool(x) for x in np.asarray(success)][: len(lanes)]
+
+
+def push_back_batch_device(
+    table: JunctionTable,
+    lanes: Sequence[LaneState],
+    edges: Sequence[Optional[Tuple[int, int, int, int, int]]],
+    eng: LcbEngine,
+) -> List[bool]:
+    """Device push_back; mutates the host LaneStates with device results.
+    Requires a phase-frozen `used` state."""
+    return _run_push(table, lanes, edges, eng, True)
+
+
+def push_front_batch_device(
+    table: JunctionTable,
+    lanes: Sequence[LaneState],
+    edges: Sequence[Optional[Tuple[int, int, int, int, int]]],
+    eng: LcbEngine,
+) -> List[bool]:
+    """Device push_front (mirror); same contract as push_back_batch_device."""
+    return _run_push(table, lanes, edges, eng, False)

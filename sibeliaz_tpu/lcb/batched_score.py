@@ -47,7 +47,11 @@ def _score_kernel(tb: DeviceTables, chr_, fi, bi, fdist, bdist, good, n,
 def score_batch_device(
     table: JunctionTable, lanes: Sequence[LaneState], flank: int
 ) -> List[int]:
+    from sibeliaz_tpu.lcb.batched_push_device import _pad_lanes
+
     tb = DeviceTables.build(table)
+    n_real = len(lanes)
+    lanes = _pad_lanes(lanes)
     L = len(lanes)
 
     def stack(attr, dtype=np.int64):
@@ -65,4 +69,4 @@ def score_batch_device(
         jnp.asarray(np.array([st.left_flank for st in lanes], np.int64)),
         jnp.int64(flank),
     )
-    return [int(x) for x in np.asarray(out)]
+    return [int(x) for x in np.asarray(out)][:n_real]

@@ -159,7 +159,12 @@ def vote_batch_device(
 ):
     """Returns (best_vid, best_origin_row, best_count, overflow) per lane;
     best_origin_row indexes the lane's instance arrays (-1 when no winner)."""
+    from sibeliaz_tpu.lcb.batched_push_device import _pad_lanes
+
     tb = DeviceTables.build(table)
+    n_real = len(lanes)
+    lanes = _pad_lanes(lanes)
+    start_vids = list(start_vids) + [0] * (len(lanes) - n_real)
     L = len(lanes)
 
     def stack(attr, dtype=np.int64):
@@ -183,5 +188,7 @@ def vote_batch_device(
         jnp.full(L, max_branch, jnp.int64),
     )
     out = _vote_kernel(tb, arrs, bool(forward), bool(try_used), max_window)
-    best_vid, best_slot, best_cnt, overflow = [np.asarray(x) for x in out]
+    best_vid, best_slot, best_cnt, overflow = [
+        np.asarray(x)[:n_real] for x in out
+    ]
     return best_vid, best_slot, best_cnt, overflow > 0

@@ -339,3 +339,68 @@ def test_vote_device_matches_host_general():
                 got_origin = (int(st.chr[q]), end_i, int(st.s[q]))
                 assert got_origin == h_origin, f"lane {b} origin"
         assert ovf.sum() <= len(bundles) // 4
+
+
+def test_push_front_device_matches_host():
+    import copy as copy_mod
+
+    from sibeliaz_tpu.lcb.batched_process import LaneProcess
+    from sibeliaz_tpu.lcb.batched_push_device import push_front_batch_device
+
+    table, eng = build(511, length=2000, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:32]
+    procs = [LaneProcess(eng, b) for b in bundles]
+    for p in procs:  # extend forward so backward pushes are meaningful
+        st = {"score": 0, "best_score": 0, "best_right": 1, "best_left": 1,
+              "best_instance": []}
+        p.extend(True, st)
+
+    # backward edges: walk from the backward-vote origin toward the winner
+    edge_lists = []
+    for p in procs:
+        vid, origin, cnt = p.most_popular(False, False)
+        edges = []
+        if vid != 0:
+            it = origin
+            while eng.vid(it) != vid and len(edges) < 8:
+                edges.append(eng.in_edge(it))
+                it = eng.prv(it)
+        edge_lists.append(edges)
+
+    lanes_d = [copy_mod.deepcopy(p.st) for p in procs]
+    max_pushes = max((len(e) for e in edge_lists), default=0)
+    for step in range(max_pushes):
+        step_edges = [
+            el[step] if step < len(el) else None for el in edge_lists
+        ]
+        got_h = []
+        for p, edge in zip(procs, step_edges):
+            got_h.append(p.push_front(edge) if edge is not None else False)
+        got_d = push_front_batch_device(table, lanes_d, step_edges, eng)
+        assert got_d == got_h, f"success flags at step {step}"
+        for b, p in enumerate(procs):
+            h, d = p.st, lanes_d[b]
+            assert h.n == d.n, f"lane {b} n @step {step}"
+            for f in ("chr", "s", "fi", "bi", "fdist", "bdist", "cmp",
+                      "ffin", "bfin", "good_seq", "insert_seq"):
+                assert np.array_equal(
+                    getattr(h, f)[: h.n], getattr(d, f)[: d.n]
+                ), f"lane {b} field {f} @step {step}"
+            assert h.left_flank == d.left_flank
+            assert h.dist == d.dist, f"lane {b} dist @step {step}"
+
+
+def test_device_process_matches_oracle():
+    import os
+
+    from sibeliaz_tpu.lcb.batched_device_process import process_batch_device
+
+    table, eng = build(512, length=1500, mut=0.03, rearrange=True)
+    n = 24 if os.environ.get("SIBELIAZ_SLOW_TESTS") else 6
+    bundles = eng.make_bundles()[:n]
+    got = process_batch_device(eng, table, bundles)
+    for b, bundle in enumerate(bundles):
+        expect = eng.process(bundle)
+        g = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist) for i in got[b]]
+        e = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist) for i in expect]
+        assert g == e, f"bundle {b} ({bundle.vid},{bundle.ch})"
