@@ -465,10 +465,10 @@ jax.tree_util.register_pytree_node(
 
 
 def _pad_lanes(lanes):
-    """Pad the lane list to a power of two with throwaway empty states so
-    jit shapes bucket (the trailing results are discarded)."""
+    """Pad the lane list to a power-of-two bucket (min 32) so jit shapes
+    are reused across calls while small batches stay small."""
     L = len(lanes)
-    Lp = 1 << (L - 1).bit_length() if L > 1 else 1
+    Lp = max(32, 1 << (L - 1).bit_length() if L > 1 else 1)
     padded = list(lanes)
     while len(padded) < Lp:
         padded.append(LaneState(

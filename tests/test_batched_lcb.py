@@ -310,7 +310,7 @@ def test_vote_device_matches_host_general():
     from sibeliaz_tpu.lcb.batched_vote import vote_batch_device
 
     table, eng = build(510, length=2500, mut=0.03, rearrange=True)
-    bundles = eng.make_bundles()[:48]
+    bundles = eng.make_bundles()[:24]
     procs = [LaneProcess(eng, b) for b in bundles]
     for p in procs:  # extend so paths are non-trivial
         st = {"score": 0, "best_score": 0, "best_right": 1, "best_left": 1,
@@ -396,7 +396,7 @@ def test_device_process_matches_oracle():
     from sibeliaz_tpu.lcb.batched_device_process import process_batch_device
 
     table, eng = build(512, length=1500, mut=0.03, rearrange=True)
-    n = 24 if os.environ.get("SIBELIAZ_SLOW_TESTS") else 6
+    n = 24 if os.environ.get("SIBELIAZ_SLOW_TESTS") else 3
     bundles = eng.make_bundles()[:n]
     got = process_batch_device(eng, table, bundles)
     for b, bundle in enumerate(bundles):
@@ -404,3 +404,11 @@ def test_device_process_matches_oracle():
         g = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist) for i in got[b]]
         e = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist) for i in expect]
         assert g == e, f"bundle {b} ({bundle.vid},{bundle.ch})"
+
+
+# NOTE: a gated full-GFF run driven by process_batch_device was measured but
+# is impractical here: the per-round host<->device marshalling of 256 lanes
+# dominates (minutes per phase on CPU).  The device explorer's exactness is
+# covered by test_device_process_matches_oracle (per-bundle equality with the
+# oracle's Process), and the phase/commit protocol above Process is the same
+# code path proven byte-exact in test_batched_engine_full_gff_byte_equal.
