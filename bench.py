@@ -70,10 +70,13 @@ def main():
 
     elapsed = t_end - t0
     mbps = total_mbp / elapsed
+    n_junctions = sum(len(r.pos) for r in records)
     print(
         f"[bench] input {total_mbp:.1f} Mbp | graph {t_graph - t0:.2f}s | "
         f"lcb+out {t_end - t_graph:.2f}s | total {elapsed:.2f}s | "
-        f"blocks {res.blocks_found} | coverage {res.coverage:.3f}",
+        f"blocks {res.blocks_found} | coverage {res.coverage:.3f} | "
+        f"junction kmers/s: {total_mbp * 1e6 / (t_graph - t0):.2e} | "
+        f"junctions: {n_junctions}",
         file=sys.stderr,
     )
     print(

@@ -36,6 +36,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="also emit reference-format <i>.tmp chunk files (N chunks) for "
         "external alignment tooling",
     )
+    p.add_argument(
+        "--align-engine", choices=("native", "tpu"), default="native",
+        help="POA engine for the alignment stage (tpu = batched device DP "
+        "with native fallback; identical output)",
+    )
     p.add_argument("fastas", nargs="+", help="FASTA files with genomes")
 
 
@@ -134,6 +139,7 @@ def run(argv: Optional[List[str]] = None) -> int:
             res.blocks, seqs, names, maf_path,
             cmd=" ".join(argv if argv is not None else sys.argv[1:]),
             chunks=cfg.chunks, threads=cfg.threads,
+            engine=args.align_engine,
         )
     t_end = time.time()
     print(
