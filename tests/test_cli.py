@@ -52,3 +52,21 @@ def test_cli_dbg_checkpoint_roundtrip(tmp_path):
     assert (out1 / "blocks_coords.gff").read_text() == (
         out2 / "blocks_coords.gff"
     ).read_text()
+
+
+def _maf_body(path):
+    # drop the '# cmd=' provenance line (argv differs by construction)
+    return "\n".join(
+        l for l in path.read_text().splitlines() if not l.startswith("# cmd=")
+    )
+
+
+def test_cli_tpu_align_engine(tmp_path):
+    seqs, names = random_related_genomes(53, length=1200, mut=0.02)
+    fa = write_inputs(tmp_path, seqs, names)
+    out_n, out_t = tmp_path / "on", tmp_path / "ot"
+    assert run(["-k", "15", "-o", str(out_n), fa]) == 0
+    assert run(["-k", "15", "-o", str(out_t), "--align-engine", "tpu", fa]) == 0
+    assert _maf_body(out_n / "alignment.maf") == _maf_body(
+        out_t / "alignment.maf"
+    )
