@@ -17,7 +17,10 @@
 // Exposed via a C ABI consumed with ctypes (no pybind11 in this image).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <set>
@@ -649,7 +652,13 @@ static void finalize(const Engine& e, Result& res,
 
 static Result run(const Engine& e, i64 threads) {
   Result res;
+  const bool timing = std::getenv("SZ_LCB_TIMING") != nullptr;
+  auto t0 = std::chrono::steady_clock::now();
   std::vector<Bundle> bundles = make_bundles(e);
+  auto t1 = std::chrono::steady_clock::now();
+  if (timing)
+    fprintf(stderr, "[szlcb] bundles: %zu in %.3fs\n", bundles.size(),
+            std::chrono::duration<double>(t1 - t0).count());
   const size_t phase_size = 256;
   size_t phase = 0;
   int nt = int(threads > 0 ? threads : 1);
@@ -715,6 +724,12 @@ static Result run(const Engine& e, i64 threads) {
     phase = limit;
   }
   for (int t = 0; t < nt; t++) delete scratch[t];
+  if (timing) {
+    auto t2 = std::chrono::steady_clock::now();
+    fprintf(stderr, "[szlcb] phases: %.3fs, blocks %lld, failures %lld\n",
+            std::chrono::duration<double>(t2 - t1).count(),
+            (long long)res.blocks_found, (long long)res.failures);
+  }
   return res;
 }
 
