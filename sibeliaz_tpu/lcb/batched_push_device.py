@@ -207,9 +207,8 @@ def _row_insert(arr, p, val, n):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=())
-def _push_device(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
-                 eu, ev, ech, elen, evalid, m, b):
+def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
+               eu, ev, ech, elen, evalid, m, b):
     """Apply push_back (forward=True) or push_front to every valid lane.
 
     Direction differences are Python-static branches: pushed vertex (edge
@@ -440,6 +439,11 @@ def _push_device(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
         pvid=pvid, pdist=pdist, pn=pn,
     )
     return out, success
+
+
+# jitted entry point (the resident engine re-uses _push_impl inside its own
+# fused program, see lcb/resident.py)
+_push_device = functools.partial(jax.jit, static_argnums=(0, 1))(_push_impl)
 
 
 jax.tree_util.register_pytree_node(

@@ -612,13 +612,20 @@ class LcbEngine:
                 self.mark_used(it)
                 it = self.nxt(it)
 
-    def run(self) -> List[Block]:
+    def run(self, process_batch_fn=None) -> List[Block]:
+        """Full phase/commit protocol.  `process_batch_fn(eng, bundles)` may
+        replace the per-bundle exploration (e.g. the resident device engine,
+        lcb/resident.py); the serial validate/commit loop — which defines the
+        deterministic result — always runs here."""
         bundles = self.make_bundles()
         phase_size = 256
         phase = 0
         while phase < len(bundles):
             limit = min(phase + phase_size, len(bundles))
-            results = [self.process(bundles[i]) for i in range(phase, limit)]
+            if process_batch_fn is None:
+                results = [self.process(bundles[i]) for i in range(phase, limit)]
+            else:
+                results = process_batch_fn(self, bundles[phase:limit])
             invalid: set = set()
             for idx in range(phase, limit):
                 instances = results[idx - phase]

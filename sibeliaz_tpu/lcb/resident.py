@@ -1,0 +1,654 @@
+"""Resident device LCB engine (batched-LCB slice 10).
+
+The slice-9 prototype (lcb/batched_device_process.py) proved the batched
+primitives exact but round-trips full lane state host<->device on every
+call.  Here the whole phase's lane state LIVES ON DEVICE:
+
+  * `ResidentState` = current lanes + two snapshot slabs + best-score
+    registers, all [256, I_CAP]-shaped device arrays;
+  * one fused jit program per push round applies PointPushBack + Score +
+    best-snapshot/rewind-slab maintenance (copy-on-improve) and returns
+    only O(lanes) scalars (success, score, improved, n, overflow);
+  * votes run on device over row-gathered read-only copies with tiered
+    (instances, window) shape buckets and escalation on window overflow;
+  * the reference's best-prefix rewind (blocksfinder.h:271-284) becomes a
+    masked slab restore: replaying the successful-push prefix from the seed
+    against the phase-frozen `used` snapshot reproduces the state at the
+    improving push exactly (pushes are deterministic and failed pushes do
+    not mutate), so snapshotting at each improvement IS the replay result;
+  * the per-lane protocol (forward minRun sweeps, rewind, backward sweeps
+    with the stray-';' semantics, blocksfinder.h:228-310) stays as a host
+    generator, but it only touches mirror scalars (flanks, edge lists) —
+    never instance state.
+
+Lanes exceeding any capacity (instances I_CAP, path P_CAP, vote window)
+fall back to the host oracle for that bundle — exactness is never traded.
+The serial validate/commit loop stays in LcbEngine.run (it defines the
+deterministic output order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sibeliaz_tpu.junctions.table import JunctionTable
+from sibeliaz_tpu.lcb.batched import seed_batch
+from sibeliaz_tpu.lcb.batched_push import I_CAP
+from sibeliaz_tpu.lcb.batched_push_device import (
+    P_CAP,
+    DeviceLanes,
+    DeviceTables,
+    _push_impl,
+)
+from sibeliaz_tpu.lcb.oracle import Bundle, Instance, LcbEngine
+
+BIG = int(1) << 60
+PHASE_LANES = 256
+VOTE_TIERS = ((64, 16), (I_CAP, 16), (I_CAP, 256))  # (instance cap, window)
+NEG_SENT = jnp.int64(1) << 58
+
+
+@dataclasses.dataclass
+class ResidentState:
+    ln: DeviceLanes  # live lane state
+    rw: DeviceLanes  # rewind slab: state at the best forward prefix
+    sn: DeviceLanes  # result slab: good list at the best positive score
+    best_score: jnp.ndarray  # [L] int64
+
+
+jax.tree_util.register_pytree_node(
+    ResidentState,
+    lambda st: ((st.ln, st.rw, st.sn, st.best_score), None),
+    lambda aux, ch: ResidentState(*ch),
+)
+
+
+def _lanes_where(mask, a: DeviceLanes, b: DeviceLanes) -> DeviceLanes:
+    def sel(x, y):
+        m = mask.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+# --------------------------------------------------------------------------
+# fused push round: PointPushBack + Score + snapshot maintenance
+# --------------------------------------------------------------------------
+
+
+def _score_of(tb: DeviceTables, ln: DeviceLanes, flank):
+    from sibeliaz_tpu.lcb.oracle import NEG_INF_SCORE
+
+    col = jnp.arange(ln.chr.shape[1], dtype=jnp.int64)[None, :]
+    live = (col < ln.n[:, None]) & (ln.good_seq >= 0)
+    base = tb.chr_off[jnp.clip(ln.chr, 0, tb.chr_off.shape[0] - 2)]
+    jf = tb.jpos[jnp.clip(base + ln.fi, 0, tb.jpos.shape[0] - 1)]
+    jb = tb.jpos[jnp.clip(base + ln.bi, 0, tb.jpos.shape[0] - 1)]
+    real = jnp.abs(jf - jb)
+    right_pen = ln.right_flank[:, None] - ln.bdist
+    left_pen = -ln.left_flank[:, None] + ln.fdist
+    bad = live & ((left_pen >= flank) | (right_pen >= flank))
+    contrib = jnp.where(live, real - (right_pen + left_pen) ** 2, 0)
+    total = jnp.sum(contrib, axis=1)
+    return jnp.where(jnp.any(bad, axis=1), jnp.int64(NEG_INF_SCORE), total)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _push_round(max_occ, forward: bool, tb: DeviceTables, st: ResidentState,
+                eu, ev, ech, elen, evalid, m, b, flank):
+    out, success = _push_impl(
+        max_occ, forward, tb, st.ln, eu, ev, ech, elen, evalid, m, b
+    )
+    score = _score_of(tb, out, flank)
+    improved = success & (score > st.best_score)
+    best_score = jnp.where(improved, score, st.best_score)
+    # forward pushes only happen during the forward sweep (the rewind is a
+    # slab restore, not a replay), so copy-on-improve maintains the rewind
+    # slab exactly at `best_right` (blocksfinder.h:271-284 semantics)
+    rw = _lanes_where(improved, out, st.rw) if forward else st.rw
+    sn = _lanes_where(improved & (score > 0), out, st.sn)
+    new_st = ResidentState(ln=out, rw=rw, sn=sn, best_score=best_score)
+    return new_st, success, score, improved, out.n, out.overflow
+
+
+@jax.jit
+def _rewind_round(st: ResidentState, mask):
+    return ResidentState(
+        ln=_lanes_where(mask, st.rw, st.ln),
+        rw=st.rw,
+        sn=st.sn,
+        best_score=st.best_score,
+    )
+
+
+# --------------------------------------------------------------------------
+# vote round: gathered read-only MostPopularVertex with per-lane direction
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _vote_round(CAP: int, W: int, tb: DeviceTables, ln: DeviceLanes,
+                idx, valid, start_vid, forward, try_used, depth, b):
+    """Vote for the gathered lanes idx (read-only; invalid rows inert).
+
+    Per-lane traced `forward`/`try_used` so one program serves mixed
+    directions.  Returns (best_vid, best_cnt, origin chr/idx/strand,
+    window-overflow) per gathered row."""
+    take = lambda a: jnp.take(a, idx, axis=0)
+    chr_ = take(ln.chr)[:, :CAP]
+    s = take(ln.s)[:, :CAP]
+    fi = take(ln.fi)[:, :CAP]
+    bi = take(ln.bi)[:, :CAP]
+    good_seq = take(ln.good_seq)[:, :CAP]
+    insert_seq = take(ln.insert_seq)[:, :CAP]
+    n = jnp.where(valid, take(ln.n), 0)
+    pvid = take(ln.pvid)
+    pn = take(ln.pn)
+
+    L = chr_.shape[0]
+    col = jnp.arange(CAP, dtype=jnp.int64)[None, :]
+    live = col < n[:, None]
+
+    good = good_seq >= 0
+    n_good = jnp.sum((good & live).astype(jnp.int64), axis=1)
+    use_good = n_good >= 2
+    in_list = jnp.where(use_good[:, None], good & live, live)
+    order_seq = jnp.where(use_good[:, None], good_seq, insert_seq)
+
+    end_i = jnp.where(forward[:, None], bi, fi)
+    base = tb.chr_off[jnp.clip(chr_, 0, tb.chr_off.shape[0] - 2)]
+    end_vid = s * tb.jid[jnp.clip(base + end_i, 0, tb.jid.shape[0] - 1)]
+    at_end = in_list & (end_vid == start_vid[:, None])
+
+    jf = tb.jpos[jnp.clip(base + fi, 0, tb.jpos.shape[0] - 1)]
+    jb = tb.jpos[jnp.clip(base + bi, 0, tb.jpos.shape[0] - 1)]
+    weight = jnp.abs(jf - jb) + 1
+    opos = tb.jpos[jnp.clip(base + end_i, 0, tb.jpos.shape[0] - 1)] + (
+        jnp.where(s < 0, tb.k, 0)
+    )
+    okey = ((s > 0).astype(jnp.int64) << 62) | (chr_ << 40) | end_i
+
+    d = jnp.arange(1, W + 1, dtype=jnp.int64)  # [W]
+    dirn = jnp.where(forward[:, None, None], d[None, None, :],
+                     -d[None, None, :])
+    step = s[:, :, None] * dirn
+    it_i = end_i[:, :, None] + step
+    in_range = (it_i >= 0) & (
+        it_i < tb.chr_len[jnp.clip(chr_, 0, tb.chr_len.shape[0] - 1)][:, :, None]
+    )
+    flat = jnp.clip(base[:, :, None] + it_i, 0, tb.jpos.shape[0] - 1)
+    pos = tb.jpos[flat] + jnp.where(s[:, :, None] < 0, tb.k, 0)
+    within = (d[None, None, :] < depth) | (
+        jnp.abs(pos - opos[:, :, None]) <= b
+    )
+    vid = s[:, :, None] * tb.jid[flat]
+    q = vid.reshape(L, -1)
+    pp = jax.vmap(jnp.searchsorted)(pvid, q)
+    hit = jnp.take_along_axis(
+        jnp.concatenate([pvid, jnp.full((L, 1), jnp.int64(BIG))], axis=1),
+        pp, axis=1,
+    ) == q
+    in_path = (hit & (pp < pn[:, None])).reshape(vid.shape)
+    uslot = jnp.where(s[:, :, None] > 0, flat, flat - 1)
+    used = jnp.where(
+        (s[:, :, None] > 0) | (it_i > 0),
+        tb.used[jnp.clip(uslot, 0, tb.used.shape[0] - 1)] > 0,
+        False,
+    )
+    ok_used = (~used) | try_used[:, None, None]
+    cont = at_end[:, :, None] & in_range & within & ~in_path & ok_used
+    alive = jnp.cumprod(cont.astype(jnp.int32), axis=2) > 0
+    overflow = jnp.any(alive[:, :, W - 1], axis=1).astype(jnp.int32)
+
+    # order-free winner reduction (docs/design.md §3)
+    V = jnp.max(jnp.abs(tb.jid)) + 1
+    lane_of = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int64)[:, None, None], vid.shape
+    )
+    key = jnp.where(
+        alive, lane_of * (2 * V + 1) + (vid + V), jnp.int64(-1)
+    ).reshape(-1)
+    arrival = order_seq[:, :, None] * W + (d - 1)[None, None, :]
+    arr_f = jnp.broadcast_to(arrival, vid.shape).reshape(-1)
+    okey_f = jnp.broadcast_to(okey[:, :, None], vid.shape).reshape(-1)
+    vid_f = vid.reshape(-1)
+    w_f = jnp.broadcast_to(weight[:, :, None], vid.shape).reshape(-1)
+    slot_f = jnp.broadcast_to(col[:, :, None], vid.shape).reshape(-1)
+
+    k2, a2, o2, v2, w2, sl2 = jax.lax.sort(
+        (key, arr_f, okey_f, vid_f, w_f, slot_f), num_keys=2
+    )
+    ridx = jnp.arange(k2.shape[0], dtype=jnp.int64)
+    seg_start = jnp.concatenate([jnp.ones(1, dtype=bool), k2[1:] != k2[:-1]])
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
+    wcum = jnp.cumsum(w2)
+    start_rank = jax.lax.cummax(jnp.where(seg_start, ridx, -1))
+    base_at = jnp.take(wcum - w2, jnp.clip(start_rank, 0, None))
+    final_cnt = wcum - base_at
+    is_final = seg_end & (k2 >= 0)
+
+    lane2 = jnp.where(is_final, k2 // (2 * V + 1), jnp.int64(L))
+    neg = jnp.where(is_final, -final_cnt, NEG_SENT)
+    k3, n3, o3, a3, v3, s3 = jax.lax.sort(
+        (
+            lane2,
+            neg,
+            jnp.where(is_final, o2, NEG_SENT),
+            jnp.where(is_final, a2, NEG_SENT),
+            v2,
+            sl2,
+        ),
+        num_keys=4,
+    )
+    lane_start = jnp.concatenate([jnp.ones(1, dtype=bool), k3[1:] != k3[:-1]])
+    win = jnp.where(lane_start & (k3 < L), k3, jnp.int64(L))
+    best_vid = jnp.zeros(L + 1, jnp.int64).at[win].set(v3, mode="drop")[:L]
+    best_cnt = jnp.zeros(L + 1, jnp.int64).at[win].set(-n3, mode="drop")[:L]
+    best_slot = jnp.zeros(L + 1, jnp.int64).at[win].set(s3, mode="drop")[:L]
+    has = (
+        jnp.zeros(L + 1, jnp.int32)
+        .at[win]
+        .set(jnp.ones_like(win, jnp.int32), mode="drop")
+    )[:L]
+    best_vid = jnp.where(has > 0, best_vid, 0)
+    best_cnt = jnp.where(has > 0, best_cnt, 0)
+
+    slot_c = jnp.clip(best_slot, 0, CAP - 1)[:, None]
+    ochr = jnp.take_along_axis(chr_, slot_c, axis=1)[:, 0]
+    oidx = jnp.take_along_axis(end_i, slot_c, axis=1)[:, 0]
+    ostr = jnp.take_along_axis(s, slot_c, axis=1)[:, 0]
+    return best_vid, best_cnt, ochr, oidx, ostr, overflow
+
+
+# --------------------------------------------------------------------------
+# seeding: SeedBatch -> DeviceLanes (host numpy, one transfer per phase)
+# --------------------------------------------------------------------------
+
+
+def _seed_lanes(
+    table: JunctionTable, bundles: Sequence[Bundle], L: int
+) -> Tuple[DeviceLanes, np.ndarray, np.ndarray]:
+    """Build the phase's initial DeviceLanes; returns (lanes, n, overflow)."""
+    sb = seed_batch(table, bundles)
+    nb = len(bundles)
+    cap = sb.chr.shape[1] if nb else 0
+    ccap = min(cap, I_CAP)
+
+    chr_ = np.full((L, I_CAP), -1, np.int64)
+    s = np.zeros((L, I_CAP), np.int64)
+    idx = np.zeros((L, I_CAP), np.int64)
+    if nb:
+        chr_[:nb, :ccap] = sb.chr[:, :ccap]
+        s[:nb, :ccap] = sb.strand[:, :ccap]
+        idx[:nb, :ccap] = sb.idx[:, :ccap]
+    n = np.zeros(L, np.int64)
+    n[:nb] = np.minimum(sb.n, I_CAP)
+    overflow = np.zeros(L, bool)
+    overflow[:nb] = sb.n > I_CAP
+    col = np.arange(I_CAP, dtype=np.int64)[None, :]
+    live = col < n[:, None]
+    chr_ = np.where(live, chr_, -1)
+    pvid = np.full((L, P_CAP), BIG, np.int64)
+    pdist = np.zeros((L, P_CAP), np.int64)
+    for l in range(nb):
+        pvid[l, 0] = bundles[l].vid
+    pn = np.zeros(L, np.int64)
+    pn[:nb] = 1
+    ln = DeviceLanes(
+        chr=jnp.asarray(chr_),
+        s=jnp.asarray(np.where(live, s, 0)),
+        fi=jnp.asarray(np.where(live, idx, 0)),
+        bi=jnp.asarray(np.where(live, idx, 0)),
+        fdist=jnp.asarray(np.zeros((L, I_CAP), np.int64)),
+        bdist=jnp.asarray(np.zeros((L, I_CAP), np.int64)),
+        cmp=jnp.asarray(np.where(live, idx, 0)),
+        ffin=jnp.asarray(np.zeros((L, I_CAP), bool)),
+        bfin=jnp.asarray(np.zeros((L, I_CAP), bool)),
+        good_seq=jnp.asarray(np.full((L, I_CAP), -1, np.int64)),
+        insert_seq=jnp.asarray(np.where(live, col, 0)),
+        n=jnp.asarray(n),
+        next_good=jnp.asarray(np.zeros(L, np.int64)),
+        next_insert=jnp.asarray(n.copy()),
+        right_flank=jnp.asarray(np.zeros(L, np.int64)),
+        left_flank=jnp.asarray(np.zeros(L, np.int64)),
+        overflow=jnp.asarray(overflow),
+        pvid=jnp.asarray(pvid),
+        pdist=jnp.asarray(pdist),
+        pn=jnp.asarray(pn),
+    )
+    return ln, n, overflow
+
+
+# --------------------------------------------------------------------------
+# per-lane protocol generator (mirror scalars only)
+# --------------------------------------------------------------------------
+
+
+class _Mirror:
+    """Host mirror of one lane's protocol-visible scalars."""
+
+    __slots__ = (
+        "right_body", "left_body", "right_flank", "left_flank",
+        "score", "best_right_len", "best_rflank", "has_snap", "n",
+    )
+
+    def __init__(self) -> None:
+        self.right_body: List[tuple] = []
+        self.left_body: List[tuple] = []
+        self.right_flank = 0
+        self.left_flank = 0
+        self.score = 0
+        self.best_right_len = 0
+        self.best_rflank = 0
+        self.has_snap = False
+        self.n = 0
+
+
+def _protocol(eng: LcbEngine, mir: _Mirror, origin_vid: int):
+    """Process() control flow; yields primitive requests, mutates mirrors.
+
+    Requests: ("vote", forward, try_used) -> (vid, origin_it | None, cnt)
+              ("push", forward, edge)     -> (success, score, improved)
+              ("rewind",)                 -> ()
+    """
+    min_run = eng.b * 2
+
+    def right_vertex():
+        return mir.right_body[-1][1] if mir.right_body else origin_vid
+
+    def left_vertex():
+        return mir.left_body[-1][0] if mir.left_body else origin_vid
+
+    def middle_length():
+        return mir.right_flank - mir.left_flank
+
+    def extend(forward):
+        start = right_vertex() if forward else left_vertex()
+        vid, origin, _ = yield ("vote", forward, False, start)
+        if forward and vid == 0:
+            vid, origin, _ = yield ("vote", True, True, start)
+        success = False
+        if vid != 0:
+            it = origin
+            while eng.vid(it) != vid:
+                edge = eng.out_edge(it) if forward else eng.in_edge(it)
+                success, score, improved = yield ("push", forward, edge)
+                if success:
+                    mir.score = score
+                    if forward:
+                        mir.right_body.append((edge[0], edge[1]))
+                        mir.right_flank += edge[4]
+                    else:
+                        mir.left_body.append((edge[0], edge[1]))
+                        mir.left_flank -= edge[4]
+                    if improved:
+                        if forward:
+                            mir.best_right_len = len(mir.right_body)
+                            mir.best_rflank = mir.right_flank
+                        if score > 0:
+                            mir.has_snap = True
+                it = eng.nxt(it) if forward else eng.prv(it)
+        return success
+
+    # forward sweep (blocksfinder.h:252-284)
+    while True:
+        positive = False
+        prev_len = middle_length()
+        while True:
+            ret = yield from extend(True)
+            if not (ret and middle_length() - prev_len <= min_run):
+                break
+            positive = positive or (mir.score > 0)
+        if not ret or not positive:
+            break
+    # rewind to best prefix: device slab restore, mirror reset
+    yield ("rewind",)
+    mir.right_body = mir.right_body[: mir.best_right_len]
+    mir.left_body = []
+    mir.right_flank = mir.best_rflank
+    mir.left_flank = 0
+    # backward sweep with the stray-';' semantics (blocksfinder.h:292-306)
+    while True:
+        prev_len = middle_length()
+        while True:
+            ret = yield from extend(False)
+            if not (ret and middle_length() - prev_len <= min_run):
+                break
+        positive = mir.score > 0
+        if not ret or not positive:
+            break
+    return None
+
+
+# --------------------------------------------------------------------------
+# phase driver
+# --------------------------------------------------------------------------
+
+
+def _device_tables(eng: LcbEngine) -> DeviceTables:
+    """DeviceTables cached on the engine; only `used`/`used_pfx` change
+    between phases (at commit time), so those are refreshed per call."""
+    tb = getattr(eng, "_resident_tb", None)
+    if tb is None:
+        tb = DeviceTables.build(eng.t)
+        eng._resident_tb = tb
+        return tb
+    used_all = (
+        np.concatenate(eng.t.used) if eng.t.n_chr else np.zeros(0, np.uint8)
+    )
+    pfx = np.zeros(len(used_all) + 1, np.int64)
+    np.cumsum(used_all, out=pfx[1:])
+    tb = dataclasses.replace(
+        tb, used=jnp.asarray(used_all), used_pfx=jnp.asarray(pfx)
+    )
+    eng._resident_tb = tb
+    return tb
+
+
+def _pad_pow2(m: int, lo: int = 8) -> int:
+    return max(lo, 1 << (m - 1).bit_length()) if m > 1 else lo
+
+
+def process_phase_resident(
+    eng: LcbEngine, bundles: Sequence[Bundle]
+) -> List[List[Instance]]:
+    """Explore every bundle of a phase with device-resident lane state."""
+    table = eng.t
+    nb = len(bundles)
+    if nb == 0:
+        return []
+    L = PHASE_LANES if nb > 32 else _pad_pow2(nb, 32)
+    tb = _device_tables(eng)
+
+    ln, n_host, seed_ovf = _seed_lanes(table, bundles, L)
+    st = ResidentState(
+        ln=ln, rw=ln, sn=ln, best_score=jnp.zeros(L, jnp.int64)
+    )
+    mirrors = [_Mirror() for _ in range(nb)]
+    for i in range(nb):
+        mirrors[i].n = int(n_host[i])
+    fallback = [bool(seed_ovf[i]) for i in range(nb)]
+    gens: List[Optional[object]] = []
+    pending: List[Optional[tuple]] = [None] * nb
+
+    def start(i):
+        if fallback[i]:
+            gens.append(None)
+            return
+        g = _protocol(eng, mirrors[i], bundles[i].vid)
+        gens.append(g)
+        try:
+            pending[i] = g.send(None)
+        except StopIteration:
+            gens[i] = None
+
+    def resume(i, value):
+        try:
+            pending[i] = gens[i].send(value)
+        except StopIteration:
+            pending[i] = None
+            gens[i] = None
+
+    def kill(i):
+        """Capacity overflow: abandon the lane, host oracle takes over."""
+        fallback[i] = True
+        pending[i] = None
+        gens[i] = None
+
+    for i in range(nb):
+        start(i)
+
+    while any(g is not None for g in gens):
+        votes: List[int] = []
+        pushes: Dict[bool, List[int]] = {True: [], False: []}
+        rewinds: List[int] = []
+        for i, p in enumerate(pending):
+            if p is None or gens[i] is None:
+                continue
+            if p[0] == "vote":
+                votes.append(i)
+            elif p[0] == "push":
+                pushes[p[1]].append(i)
+            else:
+                rewinds.append(i)
+
+        # ---- votes: gathered read-only kernel with tier escalation ----
+        group = votes
+        tier = 0
+        while group:
+            max_n = max(mirrors[i].n for i in group)
+            while VOTE_TIERS[tier][0] < max_n:
+                tier += 1
+            CAP, W = VOTE_TIERS[tier]
+            L2 = _pad_pow2(len(group))
+            idx = np.zeros(L2, np.int64)
+            valid = np.zeros(L2, bool)
+            fwd = np.zeros(L2, bool)
+            tu = np.zeros(L2, bool)
+            sv = np.full(L2, BIG, np.int64)
+            for j, i in enumerate(group):
+                idx[j] = i
+                valid[j] = True
+                fwd[j] = pending[i][1]
+                tu[j] = pending[i][2]
+                sv[j] = pending[i][3]
+            out = _vote_round(
+                CAP, W, tb, st.ln,
+                jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(sv),
+                jnp.asarray(fwd), jnp.asarray(tu),
+                jnp.int64(eng.depth), jnp.int64(eng.b),
+            )
+            bvid, bcnt, ochr, oidx, ostr, ovf = [np.asarray(x) for x in out]
+            retry: List[int] = []
+            last = tier == len(VOTE_TIERS) - 1
+            for j, i in enumerate(group):
+                if ovf[j]:
+                    if last:
+                        kill(i)
+                    else:
+                        retry.append(i)
+                elif bvid[j] == 0:
+                    resume(i, (0, None, 0))
+                else:
+                    origin = (int(ochr[j]), int(oidx[j]), int(ostr[j]))
+                    resume(i, (int(bvid[j]), origin, int(bcnt[j])))
+            group = retry
+            tier = len(VOTE_TIERS) - 1  # overflow: jump to the big window
+
+        # ---- pushes: fused push+score+snapshot round per direction ----
+        for forward in (True, False):
+            idxs = pushes[forward]
+            if not idxs:
+                continue
+            eu = np.zeros(L, np.int64)
+            ev = np.zeros(L, np.int64)
+            ech = np.zeros(L, np.int64)
+            elen = np.zeros(L, np.int64)
+            evalid = np.zeros(L, bool)
+            max_occ = 1
+            for i in idxs:
+                edge = pending[i][2]
+                eu[i], ev[i], ech[i], _, elen[i] = edge
+                evalid[i] = True
+                v = abs(edge[1] if forward else edge[0])
+                max_occ = max(
+                    max_occ,
+                    int(table.occ_off[v + 1] - table.occ_off[v]),
+                )
+            max_occ = 1 << (max_occ - 1).bit_length() if max_occ > 1 else 1
+            st, success, score, improved, n_dev, ovf = _push_round(
+                int(max_occ), forward, tb, st,
+                jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(ech),
+                jnp.asarray(elen), jnp.asarray(evalid),
+                jnp.int64(eng.m), jnp.int64(eng.b), jnp.int64(eng.flank),
+            )
+            success = np.asarray(success)
+            score = np.asarray(score)
+            improved = np.asarray(improved)
+            n_dev = np.asarray(n_dev)
+            ovf = np.asarray(ovf)
+            for i in idxs:
+                if ovf[i]:
+                    kill(i)
+                else:
+                    mirrors[i].n = int(n_dev[i])
+                    resume(
+                        i, (bool(success[i]), int(score[i]), bool(improved[i]))
+                    )
+
+        # ---- rewinds: masked slab restore ----
+        if rewinds:
+            mask = np.zeros(L, bool)
+            for i in rewinds:
+                mask[i] = True
+            st = _rewind_round(st, jnp.asarray(mask))
+            nn = np.asarray(st.ln.n)
+            for i in rewinds:
+                mirrors[i].n = int(nn[i])
+                resume(i, ())
+
+    # ---- collect results: one bulk snapshot fetch ----
+    sn = st.sn
+    h = {
+        f: np.asarray(getattr(sn, f))
+        for f in (
+            "chr", "s", "fi", "bi", "fdist", "bdist", "cmp", "ffin",
+            "bfin", "good_seq", "n",
+        )
+    }
+    results: List[List[Instance]] = []
+    for i in range(nb):
+        if fallback[i]:
+            results.append(eng.process(bundles[i]))
+            continue
+        if not mirrors[i].has_snap:
+            results.append([])
+            continue
+        ni = int(h["n"][i])
+        gs = h["good_seq"][i][:ni]
+        rows = np.flatnonzero(gs >= 0)
+        rows = rows[np.argsort(gs[rows])]
+        out: List[Instance] = []
+        for q in rows:
+            inst = Instance(int(h["chr"][i][q]), int(h["s"][i][q]), 0, 0)
+            inst.fi = int(h["fi"][i][q])
+            inst.bi = int(h["bi"][i][q])
+            inst.fdist = int(h["fdist"][i][q])
+            inst.bdist = int(h["bdist"][i][q])
+            inst.cmp = int(h["cmp"][i][q])
+            inst.ffin = bool(h["ffin"][i][q])
+            inst.bfin = bool(h["bfin"][i][q])
+            out.append(inst)
+        results.append(out)
+    return results
+
+
+def run_resident(eng: LcbEngine):
+    """Full LCB run with resident-device phase exploration."""
+    return eng.run(process_batch_fn=process_phase_resident)
