@@ -191,18 +191,66 @@ struct Graph {
         }
       }
     };
-    auto fill_row = [&](i64 i, const Score* Hp, Score* Hc, u8* drow) {
-      u8 c = s[i - 1];
-      for (int r = 0; r < N; r++) {
-        Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
-        Score diag, dele;
-        u8 dm, dd;
+    // Maximal chain runs [a, b): within a run every node's single pred is
+    // its left neighbor, so the row recurrence is
+    //   H[r] = max(diag[r], ins[r], H[r-1] + GAP)
+    // and splits into (1) a vectorizable elementwise pass for
+    // w = max(diag, ins), (2) a branch-free scalar prefix for the deletion
+    // chain, (3) a vectorizable direction-resolve pass against the final
+    // shifted H (skipped entirely for score-only rows in checkpoint mode).
+    // This is the same damped-prefix-max restructure the device engine uses
+    // (align/tpu_poa.py) and what makes spoa's SIMD layout fast.
+    std::vector<int> run_start, run_end;  // maximal chain runs
+    {
+      int r = 0;
+      while (r < N) {
         if (chain[r]) {
-          diag = Hp[r - 1] + sc;
-          dele = Hc[r - 1] + GAP;
-          dm = dir_match(0);
-          dd = dir_del(0);
+          int a = r;
+          while (r < N && chain[r]) r++;
+          run_start.push_back(a);
+          run_end.push_back(r);
         } else {
+          r++;
+        }
+      }
+    }
+    std::vector<Score> wbuf(N);
+
+    auto fill_chain_run = [&](int a, int b, u8 c, const Score* Hp, Score* Hc,
+                              u8* drow) {
+      Score* w = wbuf.data();
+      for (int r = a; r < b; r++) {  // vectorizable
+        Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
+        Score diag = Hp[r - 1] + sc;
+        Score ins = Hp[r] + GAP;
+        w[r] = diag >= ins ? diag : ins;
+      }
+      Score h = Hc[a - 1];
+      for (int r = a; r < b; r++) {  // tight prefix, cmov-friendly
+        Score d = h + Score(GAP);
+        Score wr = w[r];
+        h = wr >= d ? wr : d;
+        Hc[r] = h;
+      }
+      if (drow) {
+        for (int r = a; r < b; r++) {  // vectorizable
+          Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
+          Score diag = Hp[r - 1] + sc;
+          Score ins = Hp[r] + GAP;
+          Score dele = Hc[r - 1] + Score(GAP);
+          drow[r] = (diag >= dele && diag >= ins)
+                        ? dir_match(0)
+                        : (dele >= ins ? dir_del(0) : DIR_INS);
+        }
+      }
+    };
+
+    auto fill_cell_general = [&](int r, i64 i, u8 c, const Score* Hp,
+                                 Score* Hc, u8* drow) {
+      Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
+      Score diag, dele;
+      u8 dm, dd;
+      {
           int np = pred_off[r + 1] - pred_off[r];
           if (np == 0) {
             diag = src(i - 1) + sc;
@@ -229,22 +277,37 @@ struct Graph {
             dd = dir_del(ke);
           }
         }
-        Score ins = Hp[r] + GAP;
-        // tie priority: match > deletion > insertion
-        Score h;
-        u8 d;
-        if (diag >= dele && diag >= ins) {
-          h = diag;
-          d = dm;
-        } else if (dele >= ins) {
-          h = dele;
-          d = dd;
+      Score ins = Hp[r] + GAP;
+      // tie priority: match > deletion > insertion
+      Score h;
+      u8 d;
+      if (diag >= dele && diag >= ins) {
+        h = diag;
+        d = dm;
+      } else if (dele >= ins) {
+        h = dele;
+        d = dd;
+      } else {
+        h = ins;
+        d = DIR_INS;
+      }
+      Hc[r] = h;
+      if (drow) drow[r] = d;
+    };
+
+    auto fill_row = [&](i64 i, const Score* Hp, Score* Hc, u8* drow) {
+      u8 c = s[i - 1];
+      size_t ri = 0;
+      int r = 0;
+      while (r < N) {
+        if (ri < run_start.size() && run_start[ri] == r) {
+          fill_chain_run(run_start[ri], run_end[ri], c, Hp, Hc, drow);
+          r = run_end[ri];
+          ri++;
         } else {
-          h = ins;
-          d = DIR_INS;
+          fill_cell_general(r, i, c, Hp, Hc, drow);
+          r++;
         }
-        Hc[r] = h;
-        if (drow) drow[r] = d;
       }
     };
 

@@ -41,6 +41,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="POA engine for the alignment stage (tpu = batched device DP "
         "with native fallback; identical output)",
     )
+    p.add_argument(
+        "--lcb-engine", choices=("native", "oracle", "tpu"), default="native",
+        help="LCB exploration engine (tpu = resident-device batched phase "
+        "exploration with host-oracle fallback lanes; identical output)",
+    )
     p.add_argument("fastas", nargs="+", help="FASTA files with genomes")
 
 
@@ -114,7 +119,9 @@ def run(argv: Optional[List[str]] = None) -> int:
         dbg_io.write_dbg(args.dump_graph, records)
 
     print("Analyzing the graph...")
-    res = pipeline.find_blocks(seqs, names, cfg, records=records, engine="native")
+    res = pipeline.find_blocks(
+        seqs, names, cfg, records=records, engine=args.lcb_engine
+    )
     t_lcb = time.time()
 
     print("Generating the output...")

@@ -442,8 +442,9 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
 
 
 # jitted entry point (the resident engine re-uses _push_impl inside its own
-# fused program, see lcb/resident.py)
-_push_device = functools.partial(jax.jit, static_argnums=(0, 1))(_push_impl)
+# fused program, see lcb/resident.py).  max_occ is traced (fori_loop bound),
+# so occurrence-count variation does not trigger recompilation.
+_push_device = functools.partial(jax.jit, static_argnums=(1,))(_push_impl)
 
 
 jax.tree_util.register_pytree_node(
@@ -507,9 +508,8 @@ def _run_push(table, lanes, edges, eng, forward):
         max_occ = max(
             max_occ, int(table.occ_off[v + 1] - table.occ_off[v])
         )
-    max_occ = 1 << (max_occ - 1).bit_length() if max_occ > 1 else 1
     out, success = _push_device(
-        int(max_occ), forward, tb, ln,
+        jnp.int64(max_occ), forward, tb, ln,
         jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(ech),
         jnp.asarray(elen), jnp.asarray(evalid),
         jnp.int64(eng.m), jnp.int64(eng.b),

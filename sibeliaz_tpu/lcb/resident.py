@@ -99,9 +99,9 @@ def _score_of(tb: DeviceTables, ln: DeviceLanes, flank):
     return jnp.where(jnp.any(bad, axis=1), jnp.int64(NEG_INF_SCORE), total)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _push_round(max_occ, forward: bool, tb: DeviceTables, st: ResidentState,
-                eu, ev, ech, elen, evalid, m, b, flank):
+def _push_score_snap(max_occ, forward: bool, tb: DeviceTables,
+                     st: ResidentState, eu, ev, ech, elen, evalid, m, b,
+                     flank):
     out, success = _push_impl(
         max_occ, forward, tb, st.ln, eu, ev, ech, elen, evalid, m, b
     )
@@ -117,14 +117,54 @@ def _push_round(max_occ, forward: bool, tb: DeviceTables, st: ResidentState,
     return new_st, success, score, improved, out.n, out.overflow
 
 
-@jax.jit
-def _rewind_round(st: ResidentState, mask):
-    return ResidentState(
-        ln=_lanes_where(mask, st.rw, st.ln),
-        rw=st.rw,
-        sn=st.sn,
-        best_score=st.best_score,
+@functools.partial(jax.jit, static_argnums=(1,))
+def _push_round(max_occ, forward: bool, tb: DeviceTables, st: ResidentState,
+                eu, ev, ech, elen, evalid, m, b, flank):
+    return _push_score_snap(
+        max_occ, forward, tb, st, eu, ev, ech, elen, evalid, m, b, flank
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _walk_round(S: int, forward: bool, tb: DeviceTables, st: ResidentState,
+                rows, eu, ev, ech, elen, evalid, max_occ, m, b, flank):
+    """Apply whole edge walks for the active lanes `rows` in one program.
+
+    The edge sequence between a vote origin and its winner depends only on
+    the static junction arrays (blocksfinder.h:770-895 walks the chromosome
+    junction array), so the host precomputes it and the device applies all
+    pushes as one scan — replacing one dispatch per push.  Only the gathered
+    rows are computed on (the phase's long tail has few live lanes); results
+    scatter back into the full-resident state.  `rows` is [A] with sentinel
+    L for padding (dropped on scatter); edge arrays are [S, A]; max_occ is
+    traced (fori_loop bound), so it costs no recompiles."""
+    L = st.ln.chr.shape[0]
+    take = jnp.clip(rows, 0, L - 1)
+    work = jax.tree_util.tree_map(lambda x: x[take], st)
+
+    def step(carry, es):
+        st2, success, score, improved, n, ovf = _push_score_snap(
+            max_occ, forward, tb, carry, *es, m, b, flank
+        )
+        return st2, (success, score, improved, ovf)
+
+    work, outs = jax.lax.scan(step, work, (eu, ev, ech, elen, evalid))
+    st = jax.tree_util.tree_map(
+        lambda full, w: full.at[rows].set(w, mode="drop"), st, work
+    )
+    return st, outs, work.ln.n
+
+
+@jax.jit
+def _rewind_rows(st: ResidentState, rows):
+    """Masked slab restore for the gathered lanes (sentinel rows dropped)."""
+    L = st.ln.chr.shape[0]
+    take = jnp.clip(rows, 0, L - 1)
+    ln = jax.tree_util.tree_map(
+        lambda full, slab: full.at[rows].set(slab[take], mode="drop"),
+        st.ln, st.rw,
+    )
+    return ResidentState(ln=ln, rw=st.rw, sn=st.sn, best_score=st.best_score)
 
 
 # --------------------------------------------------------------------------
@@ -354,7 +394,7 @@ def _protocol(eng: LcbEngine, mir: _Mirror, origin_vid: int):
     """Process() control flow; yields primitive requests, mutates mirrors.
 
     Requests: ("vote", forward, try_used) -> (vid, origin_it | None, cnt)
-              ("push", forward, edge)     -> (success, score, improved)
+              ("walk", forward, edges)    -> [(success, score, improved)]*S
               ("rewind",)                 -> ()
     """
     min_run = eng.b * 2
@@ -375,25 +415,29 @@ def _protocol(eng: LcbEngine, mir: _Mirror, origin_vid: int):
             vid, origin, _ = yield ("vote", True, True, start)
         success = False
         if vid != 0:
+            edges = []
             it = origin
             while eng.vid(it) != vid:
-                edge = eng.out_edge(it) if forward else eng.in_edge(it)
-                success, score, improved = yield ("push", forward, edge)
-                if success:
-                    mir.score = score
-                    if forward:
-                        mir.right_body.append((edge[0], edge[1]))
-                        mir.right_flank += edge[4]
-                    else:
-                        mir.left_body.append((edge[0], edge[1]))
-                        mir.left_flank -= edge[4]
-                    if improved:
-                        if forward:
-                            mir.best_right_len = len(mir.right_body)
-                            mir.best_rflank = mir.right_flank
-                        if score > 0:
-                            mir.has_snap = True
+                edges.append(eng.out_edge(it) if forward else eng.in_edge(it))
                 it = eng.nxt(it) if forward else eng.prv(it)
+            if edges:
+                res = yield ("walk", forward, edges)
+                for (succ, score, improved), edge in zip(res, edges):
+                    if succ:
+                        mir.score = score
+                        if forward:
+                            mir.right_body.append((edge[0], edge[1]))
+                            mir.right_flank += edge[4]
+                        else:
+                            mir.left_body.append((edge[0], edge[1]))
+                            mir.left_flank -= edge[4]
+                        if improved:
+                            if forward:
+                                mir.best_right_len = len(mir.right_body)
+                                mir.best_rflank = mir.right_flank
+                            if score > 0:
+                                mir.has_snap = True
+                success = res[-1][0]
         return success
 
     # forward sweep (blocksfinder.h:252-284)
@@ -459,6 +503,16 @@ def process_phase_resident(
     eng: LcbEngine, bundles: Sequence[Bundle]
 ) -> List[List[Instance]]:
     """Explore every bundle of a phase with device-resident lane state."""
+    import os
+    import time as _time
+
+    stats = (
+        {"rounds": 0, "vote_calls": 0, "vote_s": 0.0, "walk_calls": 0,
+         "walk_s": 0.0, "walk_steps": 0, "rewind_s": 0.0, "host_s": 0.0}
+        if os.environ.get("SZ_RESIDENT_STATS")
+        else None
+    )
+    t_phase = _time.time()
     table = eng.t
     nb = len(bundles)
     if nb == 0:
@@ -505,6 +559,9 @@ def process_phase_resident(
         start(i)
 
     while any(g is not None for g in gens):
+        if stats is not None:
+            stats["rounds"] += 1
+            _t0 = _time.time()
         votes: List[int] = []
         pushes: Dict[bool, List[int]] = {True: [], False: []}
         rewinds: List[int] = []
@@ -513,7 +570,7 @@ def process_phase_resident(
                 continue
             if p[0] == "vote":
                 votes.append(i)
-            elif p[0] == "push":
+            elif p[0] == "walk":
                 pushes[p[1]].append(i)
             else:
                 rewinds.append(i)
@@ -521,6 +578,8 @@ def process_phase_resident(
         # ---- votes: gathered read-only kernel with tier escalation ----
         group = votes
         tier = 0
+        if stats is not None and votes:
+            _tv = _time.time()
         while group:
             max_n = max(mirrors[i].n for i in group)
             while VOTE_TIERS[tier][0] < max_n:
@@ -560,58 +619,97 @@ def process_phase_resident(
                     resume(i, (int(bvid[j]), origin, int(bcnt[j])))
             group = retry
             tier = len(VOTE_TIERS) - 1  # overflow: jump to the big window
+        if stats is not None and votes:
+            stats["vote_calls"] += 1
+            stats["vote_s"] += _time.time() - _tv
 
-        # ---- pushes: fused push+score+snapshot round per direction ----
+        # ---- walks: one scanned push+score+snapshot program per direction --
         for forward in (True, False):
             idxs = pushes[forward]
             if not idxs:
                 continue
-            eu = np.zeros(L, np.int64)
-            ev = np.zeros(L, np.int64)
-            ech = np.zeros(L, np.int64)
-            elen = np.zeros(L, np.int64)
-            evalid = np.zeros(L, bool)
+            if stats is not None:
+                _tw = _time.time()
+            S = max(len(pending[i][2]) for i in idxs)
+            S = 1 << (S - 1).bit_length() if S > 1 else 1
+            A = min(_pad_pow2(len(idxs)), L)
+            rows = np.full(A, L, np.int64)
+            eu = np.zeros((S, A), np.int64)
+            ev = np.zeros((S, A), np.int64)
+            ech = np.zeros((S, A), np.int64)
+            elen = np.zeros((S, A), np.int64)
+            evalid = np.zeros((S, A), bool)
             max_occ = 1
-            for i in idxs:
-                edge = pending[i][2]
-                eu[i], ev[i], ech[i], _, elen[i] = edge
-                evalid[i] = True
-                v = abs(edge[1] if forward else edge[0])
-                max_occ = max(
-                    max_occ,
-                    int(table.occ_off[v + 1] - table.occ_off[v]),
-                )
-            max_occ = 1 << (max_occ - 1).bit_length() if max_occ > 1 else 1
-            st, success, score, improved, n_dev, ovf = _push_round(
-                int(max_occ), forward, tb, st,
+            for j, i in enumerate(idxs):
+                rows[j] = i
+                for t, edge in enumerate(pending[i][2]):
+                    eu[t, j], ev[t, j], ech[t, j], _, elen[t, j] = edge
+                    evalid[t, j] = True
+                    v = abs(edge[1] if forward else edge[0])
+                    max_occ = max(
+                        max_occ,
+                        int(table.occ_off[v + 1] - table.occ_off[v]),
+                    )
+            st, outs, n_work = _walk_round(
+                int(S), forward, tb, st, jnp.asarray(rows),
                 jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(ech),
-                jnp.asarray(elen), jnp.asarray(evalid),
+                jnp.asarray(elen), jnp.asarray(evalid), jnp.int64(max_occ),
                 jnp.int64(eng.m), jnp.int64(eng.b), jnp.int64(eng.flank),
             )
-            success = np.asarray(success)
-            score = np.asarray(score)
-            improved = np.asarray(improved)
-            n_dev = np.asarray(n_dev)
-            ovf = np.asarray(ovf)
-            for i in idxs:
-                if ovf[i]:
+            success, score, improved, ovf = [np.asarray(x) for x in outs]
+            n_work = np.asarray(n_work)
+            for j, i in enumerate(idxs):
+                ns = len(pending[i][2])
+                if ovf[:ns, j].any():
                     kill(i)
                 else:
-                    mirrors[i].n = int(n_dev[i])
+                    mirrors[i].n = int(n_work[j])
                     resume(
-                        i, (bool(success[i]), int(score[i]), bool(improved[i]))
+                        i,
+                        [
+                            (
+                                bool(success[t, j]),
+                                int(score[t, j]),
+                                bool(improved[t, j]),
+                            )
+                            for t in range(ns)
+                        ],
                     )
+            if stats is not None:
+                stats["walk_calls"] += 1
+                stats["walk_steps"] += int(S)
+                stats["walk_s"] += _time.time() - _tw
 
         # ---- rewinds: masked slab restore ----
         if rewinds:
-            mask = np.zeros(L, bool)
-            for i in rewinds:
-                mask[i] = True
-            st = _rewind_round(st, jnp.asarray(mask))
+            if stats is not None:
+                _tr = _time.time()
+            A = min(_pad_pow2(len(rewinds)), L)
+            rows = np.full(A, L, np.int64)
+            rows[: len(rewinds)] = rewinds
+            st = _rewind_rows(st, jnp.asarray(rows))
             nn = np.asarray(st.ln.n)
             for i in rewinds:
                 mirrors[i].n = int(nn[i])
                 resume(i, ())
+            if stats is not None:
+                stats["rewind_s"] += _time.time() - _tr
+
+    if stats is not None:
+        import sys
+
+        total = _time.time() - t_phase
+        stats["host_s"] = total - stats["vote_s"] - stats["walk_s"] - stats[
+            "rewind_s"
+        ]
+        print(
+            f"[resident] phase nb={nb} total={total:.1f}s "
+            + " ".join(
+                f"{k}={v:.1f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in stats.items()
+            ),
+            file=sys.stderr, flush=True,
+        )
 
     # ---- collect results: one bulk snapshot fetch ----
     sn = st.sn

@@ -54,7 +54,7 @@ def find_blocks(
     metrics.set("vertices", table.n_vertices)
     metrics.set("junction_records", int(sum(len(p) for p in table.jpos)))
     with metrics.stage("lcb_engine", engine=engine):
-        if engine == "oracle":
+        if engine in ("oracle", "tpu", "resident"):
             from sibeliaz_tpu.lcb.oracle import LcbEngine
 
             eng = LcbEngine(
@@ -64,7 +64,12 @@ def find_blocks(
                 max_flanking_size=cfg.flanking,
                 looking_depth=cfg.looking_depth,
             )
-            raw = eng.run()
+            if engine == "oracle":
+                raw = eng.run()
+            else:
+                from sibeliaz_tpu.lcb.resident import run_resident
+
+                raw = run_resident(eng)
         else:
             from sibeliaz_tpu.lcb.engine import run_native
 

@@ -70,3 +70,19 @@ def test_cli_tpu_align_engine(tmp_path):
     assert _maf_body(out_n / "alignment.maf") == _maf_body(
         out_t / "alignment.maf"
     )
+
+
+def test_cli_tpu_lcb_engine(tmp_path):
+    """--lcb-engine tpu (resident device exploration) produces a GFF
+    byte-identical to the native engine's."""
+    seqs, names = random_related_genomes(53, length=2000, mut=0.02,
+                                         rearrange=True)
+    fa = write_inputs(tmp_path, seqs, names)
+    out_n = tmp_path / "out_native"
+    out_t = tmp_path / "out_tpu"
+    assert run(["-k", "15", "-n", "-o", str(out_n), fa]) == 0
+    assert run(["-k", "15", "-n", "-o", str(out_t),
+                "--lcb-engine", "tpu", fa]) == 0
+    assert (out_n / "blocks_coords.gff").read_text() == (
+        out_t / "blocks_coords.gff"
+    ).read_text()
