@@ -617,6 +617,61 @@ def junction_records_compact_v7(codes_u8: jnp.ndarray, k: int, capacity: int):
     per process; steady-state is ~5x faster than v5.
     """
     n = codes_u8.shape[0]
+    junction_s, first_s, idx_s, packed_s, _ = _v7_core(codes_u8, k)
+    count = jnp.sum(junction_s.astype(jnp.int64)).astype(jnp.int32)
+    key2 = jnp.where(
+        junction_s, idx_s.astype(jnp.int64), idx_s.astype(jnp.int64) + n
+    )
+    _, out_pos, out_first, out_flags = jax.lax.sort(
+        (key2, idx_s, first_s, (packed_s >> 11).astype(jnp.uint8)),
+        num_keys=1,
+    )
+    return count, out_pos[:capacity], out_first[:capacity], out_flags[:capacity]
+
+
+def junction_records_compact_v8(codes_u8: jnp.ndarray, k: int, capacity: int):
+    """v7 plus on-device id assignment.
+
+    The host used to compute ids as rank-of-first (`np.unique` +
+    `np.searchsorted`) after transferring each record's class-first index.
+    Ranking the class-first positions on device (one more sort + a
+    searchsorted) lets the kernel emit the final signed int32 id directly,
+    so (a) the host id pass disappears and (b) the d2h payload drops to
+    8 bytes/junction (pos int32 + signed id int32) — the transfer, not the
+    kernel, dominates the graph stage on this environment's tunneled chip
+    (~12 MB/s).  Ids are identical to the host assignment (dense ascending
+    ranks of class first-occurrence, +1; sign = orientation flag,
+    junctionstorage/TwoPaCo signed-id semantics)."""
+    n = codes_u8.shape[0]
+    junction_s, first_s, idx_s, packed_s, seg_start = _v7_core(codes_u8, k)
+
+    # Rank class-first positions with two payload-carrying sorts (the remote
+    # TPU toolchain segfaults lowering a 16M-wide searchsorted; sorts are
+    # the proven primitive in this kernel family).  Sort rows by class-first
+    # value, count distinct firsts with a cumsum, sort the ranks back.
+    row = jnp.arange(n, dtype=jnp.int32)
+    fkey = jnp.where(junction_s, first_s, jnp.int32(0x7FFFFFFF))
+    fkey_s, row_s = jax.lax.sort((fkey, row), num_keys=1)
+    new_class = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), fkey_s[1:] != fkey_s[:-1]]
+    )
+    crank = jnp.cumsum(new_class.astype(jnp.int32))  # 1-based class rank
+    _, sid = jax.lax.sort((row_s, crank), num_keys=1)
+    signed = jnp.where(((packed_s >> 11) & 1) > 0, sid, -sid)
+
+    count = jnp.sum(junction_s.astype(jnp.int64)).astype(jnp.int32)
+    key2 = jnp.where(
+        junction_s, idx_s.astype(jnp.int64), idx_s.astype(jnp.int64) + n
+    )
+    _, out_pos, out_id = jax.lax.sort((key2, idx_s, signed), num_keys=1)
+    return count, out_pos[:capacity], out_id[:capacity]
+
+
+def _v7_core(codes_u8: jnp.ndarray, k: int):
+    """Shared canon-sort + cummax class analysis (v7/v8).  Returns, in
+    canon-sorted row order: junction flag, class-first index (int32),
+    original index (int32), packed extension bits, class-start flag."""
+    n = codes_u8.shape[0]
     definite = codes_u8 != alphabet.BAD_CODE
     codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
     valid = _windowed_all(definite, k)
@@ -686,16 +741,7 @@ def junction_records_compact_v7(codes_u8: jnp.ndarray, k: int, capacity: int):
         )
         % M
     ).astype(jnp.int32)
-
-    count = jnp.sum(junction_s.astype(jnp.int64)).astype(jnp.int32)
-    key2 = jnp.where(
-        junction_s, idx_s.astype(jnp.int64), idx_s.astype(jnp.int64) + n
-    )
-    _, out_pos, out_first, out_flags = jax.lax.sort(
-        (key2, idx_s, first_s, (packed_s >> 11).astype(jnp.uint8)),
-        num_keys=1,
-    )
-    return count, out_pos[:capacity], out_first[:capacity], out_flags[:capacity]
+    return junction_s, first_s, idx_s, packed_s, seg_start
 
 
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
@@ -706,6 +752,9 @@ _junction_kernel_compact_v5 = jax.jit(
 )
 _junction_kernel_compact_v7 = jax.jit(
     junction_records_compact_v7, static_argnums=(1, 2)
+)
+_junction_kernel_compact_v8 = jax.jit(
+    junction_records_compact_v8, static_argnums=(1, 2)
 )
 _junction_kernel_compact_v2 = jax.jit(
     junction_records_compact_v2, static_argnums=(1, 2)
@@ -739,10 +788,11 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
         )
     codes = alphabet.encode(joined)
     capacity = max(4096, len(joined) // 3)
-    # v7 = payload-carrying sorts + running-maximum class broadcasts; no
-    # standalone random gathers/scatters and no segment ops (~18x faster
-    # steady-state than the original segment-op kernel on v5e).
-    count, out_pos, out_first, out_flags = _junction_kernel_compact_v7(
+    # v8 = payload-carrying sorts + running-maximum class broadcasts (no
+    # standalone random gathers/scatters, no segment ops) + on-device signed
+    # id assignment, so the d2h payload is 8 bytes/junction and the host
+    # does no id work.
+    count, out_pos, out_id = _junction_kernel_compact_v8(
         jnp.asarray(codes), k, capacity
     )
     count = int(count)
@@ -759,13 +809,9 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
         ids = np.searchsorted(uniq, fidx) + 1
         signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
     else:
-        # slice on device so only ~9 bytes per junction cross to the host
+        # slice on device so only 8 bytes per junction cross to the host
         jpos = np.asarray(out_pos[:count]).astype(np.int64)
-        first = np.asarray(out_first[:count])
-        flags = np.asarray(out_flags[:count])
-        uniq = np.unique(first)  # ascending == first-occurrence order
-        ids = np.searchsorted(uniq, first) + 1
-        signed = np.where(flags & 1, ids, -ids).astype(np.int64)
+        signed = np.asarray(out_id[:count]).astype(np.int64)
 
     # Split global positions back into chromosomes (separator widths = 1).
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)

@@ -148,10 +148,13 @@ def build_junctions_streamed(
     N = len(joined)
 
     # ---- pass 1: chunked scan, bucket by canon % n_rounds ----
+    # Software-pipelined: the device scans chunk i+1 (async dispatch) while
+    # the host buckets chunk i's materialized results, so host bucketing
+    # overlaps device compute instead of serializing with it.
     buckets = [[] for _ in range(n_rounds)]  # (canon, packed, gpos) triples
     M = chunk_size
-    start = 1
-    while start < N - 1:
+
+    def launch(start):
         end = min(start + M, N - 1)
         m = end - start
         lo = start - 1
@@ -163,9 +166,13 @@ def build_junctions_streamed(
                 [block, np.full(pad, alphabet.BAD_CODE, np.uint8)]
             )
         canon, packed, positive = _chunk_scan(jnp.asarray(block), k)
-        canon = np.asarray(canon)[:m]
-        packed = np.asarray(packed)[:m]
-        positive = np.asarray(positive)[:m]
+        return (canon, packed, positive, start, end, m)
+
+    def absorb(pending):
+        canon_d, packed_d, positive_d, start, end, m = pending
+        canon = np.asarray(canon_d)[:m]
+        packed = np.asarray(packed_d)[:m]
+        positive = np.asarray(positive_d)[:m]
         valid = canon != int(_INVALID_CANON)
         gpos = np.arange(start, end, dtype=np.int64)
         pk = packed.astype(np.int32) | (positive.astype(np.int32) << 11)
@@ -175,7 +182,17 @@ def build_junctions_streamed(
             mr = rnd == r
             if mr.any():
                 buckets[r].append((cv[mr], pv[mr], gv[mr]))
-        start = end
+
+    start = 1
+    pending = None
+    while start < N - 1:
+        nxt = launch(start)
+        start = nxt[4]
+        if pending is not None:
+            absorb(pending)
+        pending = nxt
+    if pending is not None:
+        absorb(pending)
 
     # ---- pass 2: per-round analysis ----
     all_gpos: List[np.ndarray] = []

@@ -117,3 +117,45 @@ class TestConstructParity:
             oracle.enumerate_junctions([seq], 9),
             construct.build_junctions([seq], 9),
         )
+
+
+def test_v8_device_ids_match_v7_host_assignment():
+    """v8 (on-device signed-id assignment) must reproduce v7 + the host
+    unique/searchsorted id pass exactly, including N runs and both k."""
+    import jax.numpy as jnp
+
+    from sibeliaz_tpu.core import alphabet
+    from sibeliaz_tpu.graph import construct
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        n = int(rng.integers(2000, 20000))
+        arr = alphabet.decode(rng.integers(0, 4, size=n).astype(np.uint8))
+        for p in rng.integers(0, n, size=5):
+            arr[p] = ord("N")
+        codes = alphabet.encode(arr)
+        bucket = max(4096, 1 << (len(codes) - 1).bit_length())
+        codes = np.concatenate(
+            [codes, np.full(bucket - len(codes), alphabet.BAD_CODE, np.uint8)]
+        )
+        k = [15, 25][trial % 2]
+        cap = max(4096, bucket // 3)
+        c7, p7, f7, fl7 = [
+            np.asarray(x)
+            for x in construct._junction_kernel_compact_v7(
+                jnp.asarray(codes), k, cap
+            )
+        ]
+        c8, p8, i8 = [
+            np.asarray(x)
+            for x in construct._junction_kernel_compact_v8(
+                jnp.asarray(codes), k, cap
+            )
+        ]
+        c7, c8 = int(c7), int(c8)
+        assert c7 == c8
+        uniq = np.unique(f7[:c7])
+        ids = np.searchsorted(uniq, f7[:c7]) + 1
+        signed7 = np.where(fl7[:c7] & 1, ids, -ids)
+        assert np.array_equal(p7[:c7], p8[:c8])
+        assert np.array_equal(signed7, i8[:c8])
