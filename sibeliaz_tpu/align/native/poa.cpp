@@ -214,23 +214,57 @@ struct Graph {
         }
       }
     }
-    std::vector<Score> wbuf(N);
-
     auto fill_chain_run = [&](int a, int b, u8 c, const Score* Hp, Score* Hc,
                               u8* drow) {
-      Score* w = wbuf.data();
-      for (int r = a; r < b; r++) {  // vectorizable
-        Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
-        Score diag = Hp[r - 1] + sc;
-        Score ins = Hp[r] + GAP;
-        w[r] = diag >= ins ? diag : ins;
-      }
+      // Fused w = max(diag, ins) + deletion-chain prefix
+      // H[r] = max(w[r], H[r-1] + GAP), vectorized as a blocked log-shift
+      // scan (8 int32 lanes): compute the block's w in registers,
+      // max-combine progressively shifted copies with damped offsets, then
+      // fold in the carry from the previous block.
       Score h = Hc[a - 1];
-      for (int r = a; r < b; r++) {  // tight prefix, cmov-friendly
-        Score d = h + Score(GAP);
-        Score wr = w[r];
-        h = wr >= d ? wr : d;
-        Hc[r] = h;
+      {
+        typedef int32_t v8 __attribute__((vector_size(32)));
+        const v8 g1 = {GAP, GAP, GAP, GAP, GAP, GAP, GAP, GAP};
+        const v8 g2 = g1 + g1;
+        const v8 g4 = g2 + g2;
+        const v8 damp = {1 * GAP, 2 * GAP, 3 * GAP, 4 * GAP,
+                         5 * GAP, 6 * GAP, 7 * GAP, 8 * GAP};
+        const v8 vmatch = {MATCH, MATCH, MATCH, MATCH,
+                           MATCH, MATCH, MATCH, MATCH};
+        const v8 vmis = {MISMATCH, MISMATCH, MISMATCH, MISMATCH,
+                         MISMATCH, MISMATCH, MISMATCH, MISMATCH};
+        const Score NB = NEGS;
+        int r = a;
+        for (; r + 8 <= b; r += 8) {
+          v8 hp_prev, hp;
+          __builtin_memcpy(&hp_prev, Hp + r - 1, sizeof(hp_prev));
+          __builtin_memcpy(&hp, Hp + r, sizeof(hp));
+          v8 eq;
+          for (int l = 0; l < 8; l++) eq[l] = node_ch[r + l] == c ? -1 : 0;
+          v8 diag = hp_prev + (eq ? vmatch : vmis);
+          v8 ins = hp + g1;
+          v8 v = diag > ins ? diag : ins;
+          v8 s1 = {NB, v[0], v[1], v[2], v[3], v[4], v[5], v[6]};
+          v = v > s1 + g1 ? v : s1 + g1;
+          v8 s2 = {NB, NB, v[0], v[1], v[2], v[3], v[4], v[5]};
+          v = v > s2 + g2 ? v : s2 + g2;
+          v8 s4 = {NB, NB, NB, NB, v[0], v[1], v[2], v[3]};
+          v = v > s4 + g4 ? v : s4 + g4;
+          v8 carry = {h, h, h, h, h, h, h, h};
+          carry += damp;
+          v = v > carry ? v : carry;
+          __builtin_memcpy(Hc + r, &v, sizeof(v));
+          h = v[7];
+        }
+        for (; r < b; r++) {  // tail
+          Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
+          Score diag = Hp[r - 1] + sc;
+          Score ins = Hp[r] + GAP;
+          Score wr = diag >= ins ? diag : ins;
+          Score d = h + Score(GAP);
+          h = wr >= d ? wr : d;
+          Hc[r] = h;
+        }
       }
       if (drow) {
         for (int r = a; r < b; r++) {  // vectorizable
