@@ -195,6 +195,67 @@ class DeviceLanes:
             }
 
 
+_COMP_TBL = jnp.array(
+    [0] * 65 + [ord("T")] + [0] * 1 + [ord("G")] + [0] * 3
+    + [ord("C")] + [0] * 12 + [ord("A")] + [0] * 171,
+    dtype=jnp.int64,
+)
+
+
+def edge_of(tb: DeviceTables, c, i, s, fwd):
+    """Device twin of LcbEngine.out_edge/in_edge (oracle.py:180-208;
+    junctionstorage.h:191-227): the edge at iterator (chr c, idx i, strand
+    s) in direction fwd, as (u, v, ch, rev, length) int64 vectors.  All
+    inputs are [L] vectors; out-of-range neighbor indices are clipped (the
+    caller must only use rows whose walk is in range, exactly like the
+    reference only builds edges between consecutive junctions)."""
+    base = tb.chr_off[jnp.clip(c, 0, tb.chr_off.shape[0] - 2)]
+    nbr = jnp.where(fwd, i + s, i - s)  # the other junction of the edge
+    idx_self = jnp.clip(base + i, 0, tb.jid.shape[0] - 1)
+    idx_nbr = jnp.clip(base + nbr, 0, tb.jid.shape[0] - 1)
+    id_self = tb.jid[idx_self]
+    id_nbr = tb.jid[idx_nbr]
+    u = jnp.where(fwd, s * id_self, s * id_nbr)
+    v = jnp.where(fwd, s * id_nbr, s * id_self)
+    p_self = tb.jpos[idx_self]
+    p_nbr = tb.jpos[idx_nbr]
+    length = jnp.abs(p_nbr - p_self)
+    p_start = jnp.where(fwd, p_self, p_nbr)  # the edge's start junction
+    p_end = jnp.where(fwd, p_nbr, p_self)
+    sq_off = tb.seq_off[jnp.clip(c, 0, tb.seq_off.shape[0] - 2)]
+    sq_len = tb.seq_off[jnp.clip(c + 1, 0, tb.seq_off.shape[0] - 1)] - sq_off
+
+    def byte_at(p):
+        return tb.seq[jnp.clip(sq_off + p, 0, tb.seq.shape[0] - 1)].astype(
+            jnp.int64
+        )
+
+    def comp_at(p):  # complement(seq[p-1]), 'N' at the chromosome edge
+        bb = byte_at(p - 1)
+        return jnp.where(
+            p > 0,
+            jnp.where(_COMP_TBL[bb] > 0, _COMP_TBL[bb], ord("N")),
+            ord("N"),
+        )
+
+    # label char: + strand reads the start junction's successor byte,
+    # - strand the complement of its predecessor (oracle.py:180-208)
+    ch = jnp.where(
+        s > 0,
+        jnp.where(p_start + tb.k < sq_len, byte_at(p_start + tb.k), 0),
+        comp_at(p_start),
+    )
+    # rc label: + strand reads complement at the end junction; - strand
+    # reads seq[p_self + k] in BOTH directions (the oracle/reference read
+    # it at the iterator itself: out_edge's start, in_edge's end)
+    rev = jnp.where(
+        s > 0,
+        comp_at(p_end),
+        jnp.where(p_self + tb.k < sq_len, byte_at(p_self + tb.k), 0),
+    )
+    return u, v, ch, rev, length
+
+
 def _row_insert(arr, p, val, n):
     """Insert val at position p (shift right); rows are [L, CAP]."""
     L, CAP = arr.shape
@@ -209,14 +270,26 @@ def _row_insert(arr, p, val, n):
 
 def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
                eu, ev, ech, elen, evalid, m, b):
-    """Apply push_back (forward=True) or push_front to every valid lane.
+    """Apply push_back (forward=True) or push_front to every valid lane."""
+    L = ln.chr.shape[0]
+    fwd = jnp.full((L,), bool(forward))
+    return _push_impl_traced(max_occ, fwd, tb, ln, eu, ev, ech, elen,
+                             evalid, m, b)
 
-    Direction differences are Python-static branches: pushed vertex (edge
-    end vs start), distance sign, candidate polarity, compatibility
-    endpoint roles, and which end of the instance mutates."""
+
+def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
+                      eu, ev, ech, elen, evalid, m, b):
+    """Apply push_back (fwd[l]=True) or push_front per lane, mixed in one
+    program — the direction is a traced [L] bool vector, so a single
+    invocation serves lanes in different protocol phases (the prerequisite
+    for running the whole phase state machine inside one lax.while_loop).
+    Direction differences (pushed vertex = edge end vs start, distance
+    sign, candidate polarity, compatibility endpoint roles, which end of
+    the instance mutates) become jnp.where selects; when `fwd` is a
+    broadcast constant XLA folds them back to the static program."""
     L = ln.chr.shape[0]
     lanes_i = jnp.arange(L, dtype=jnp.int64)
-    vtx = ev if forward else eu
+    vtx = jnp.where(fwd, ev, eu)
 
     # ---- membership + path-table insert ----
     pp = jax.vmap(jnp.searchsorted)(ln.pvid, vtx)
@@ -224,7 +297,9 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
         jnp.take_along_axis(ln.pvid, pp[:, None], axis=1)[:, 0] == vtx
     ) & (pp < ln.pn)
     success = evalid & ~member & ~ln.overflow
-    dval = ln.right_flank + elen if forward else ln.left_flank - elen
+    dval = jnp.where(
+        fwd, ln.right_flank + elen, ln.left_flank - elen
+    )
     pvid = jnp.where(
         success[:, None], _row_insert(ln.pvid, pp, vtx, ln.pn), ln.pvid
     )
@@ -277,7 +352,7 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
             i <= jnp.maximum(fi_p, bi_p)
         )
 
-        use_prev = (s_ > 0) if forward else (s_ < 0)
+        use_prev = jnp.where(fwd, s_ > 0, s_ < 0)
         cand = jnp.where(use_prev, p - 1, p)
         prev_ok = (p - 1 >= 0) & (gather("chr", p - 1) == c)
         cand_ok = jnp.where(use_prev, prev_ok, in_chr)
@@ -285,13 +360,13 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
         # ---- compatibility ----
         cc = gather("chr", cand)
         cs = gather("s", cand)
-        cend = gather("bi" if forward else "fi", cand)  # cand's mutable end
+        # cand's mutable end: back on forward pushes, front on backward
+        cend = jnp.where(fwd, gather("bi", cand), gather("fi", cand))
         same_strand = cs == s_
         # strand-aware used-slot range between start and end iterators
-        if forward:
-            start_i, end_i = cend, i  # start = cand.back, end = seq_it
-        else:
-            start_i, end_i = i, cend  # start = seq_it, end = cand.front
+        # forward: start = cand.back, end = seq_it; backward: swapped
+        start_i = jnp.where(fwd, cend, i)
+        end_i = jnp.where(fwd, i, cend)
         lo_slot = jnp.where(s_ > 0, start_i, end_i)
         hi_slot = jnp.where(s_ > 0, end_i, start_i)
         cbase = tb.chr_off[jnp.clip(cc, 0, tb.chr_off.shape[0] - 2)]
@@ -313,7 +388,7 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
         cdist = jnp.take_along_axis(
             pdist, jnp.clip(cp, 0, P_CAP - 1)[:, None], axis=1
         )[:, 0]
-        anc_diff = (dval - cdist) if forward else (cdist - dval)
+        anc_diff = jnp.where(fwd, dval - cdist, cdist - dval)
         dir_ok = jnp.where(s_ > 0, real_diff >= 0, -real_diff >= 0)
         over = (jnp.abs(real_diff) > b) | (anc_diff > b)
         # adjacency escape: start.Next() == end, chars match, next vid == ev
@@ -355,8 +430,7 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
         )
 
         do_update = act & ~within & compat & (cvid != vtx)
-        fin_f = "bfin" if forward else "ffin"
-        cfin = gather(fin_f, cand)
+        cfin = jnp.where(fwd, gather("bfin", cand), gather("ffin", cand))
         do_change = do_update & ~cfin
         uslot = jnp.where(s_ > 0, base + i, base + i - 1)
         u = jnp.where(
@@ -365,9 +439,9 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
             False,
         )
 
-        other_f = "fi" if forward else "bi"
+        c_other = jnp.where(fwd, gather("fi", cand), gather("bi", cand))
         jp_other = tb.jpos[
-            jnp.clip(cbase + gather(other_f, cand), 0, tb.jpos.shape[0] - 1)
+            jnp.clip(cbase + c_other, 0, tb.jpos.shape[0] - 1)
         ]
         jp_end_old = tb.jpos[jnp.clip(cbase + cend, 0, tb.jpos.shape[0] - 1)]
         was_good = jnp.abs(jp_other - jp_end_old) >= m
@@ -381,18 +455,19 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
                 jnp.where(mask, val, cur[lanes_i, ci])
             )
 
-        end_f = "bi" if forward else "fi"
-        dist_f = "bdist" if forward else "fdist"
-        state[end_f] = set_at(end_f, i, do_change)
-        state[dist_f] = set_at(dist_f, dval, do_change)
-        cmp_strand = (cs > 0) if forward else (cs < 0)
+        state["bi"] = set_at("bi", i, do_change & fwd)
+        state["bdist"] = set_at("bdist", dval, do_change & fwd)
+        state["fi"] = set_at("fi", i, do_change & ~fwd)
+        state["fdist"] = set_at("fdist", dval, do_change & ~fwd)
+        cmp_strand = jnp.where(fwd, cs > 0, cs < 0)
         state["cmp"] = set_at("cmp", i, do_change & cmp_strand)
         newly_good = do_change & ~was_good & now_good
         state["good_seq"] = set_at("good_seq", state["next_good"], newly_good)
         state["next_good"] = jnp.where(
             newly_good, state["next_good"] + 1, state["next_good"]
         )
-        state[fin_f] = set_at(fin_f, True, do_change & u)
+        state["bfin"] = set_at("bfin", True, do_change & u & fwd)
+        state["ffin"] = set_at("ffin", True, do_change & u & ~fwd)
 
         do_insert = act & ~within & ~u & ~(compat & (cvid != vtx))
         room = state["n"] < I_CAP
@@ -422,12 +497,8 @@ def _push_impl(max_occ, forward: bool, tb: DeviceTables, ln: DeviceLanes,
         return state
 
     state = jax.lax.fori_loop(0, max_occ, occ_step, state)
-    right_flank = (
-        jnp.where(success, dval, ln.right_flank) if forward else ln.right_flank
-    )
-    left_flank = (
-        ln.left_flank if forward else jnp.where(success, dval, ln.left_flank)
-    )
+    right_flank = jnp.where(success & fwd, dval, ln.right_flank)
+    left_flank = jnp.where(success & ~fwd, dval, ln.left_flank)
     out = DeviceLanes(
         chr=state["chr"], s=state["s"], fi=state["fi"], bi=state["bi"],
         fdist=state["fdist"], bdist=state["bdist"], cmp=state["cmp"],

@@ -412,3 +412,117 @@ def test_device_process_matches_oracle():
 # covered by test_device_process_matches_oracle (per-bundle equality with the
 # oracle's Process), and the phase/commit protocol above Process is the same
 # code path proven byte-exact in test_batched_engine_full_gff_byte_equal.
+
+
+def test_push_traced_direction_matches_static():
+    """_push_impl_traced with a mixed per-lane direction vector must equal
+    running the static forward/backward kernels on the respective lane
+    subsets (prerequisite for the single-program phase state machine)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sibeliaz_tpu.lcb import batched_push
+    from sibeliaz_tpu.lcb.batched_push_device import (
+        DeviceLanes,
+        DeviceTables,
+        _pad_lanes,
+        _push_impl,
+        _push_impl_traced,
+    )
+
+    table, eng = build(509, length=2000, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:16]
+    tb = DeviceTables.build(table)
+
+    lanes = [
+        batched_push.LaneState.seed(eng, b.vid, b.ch) for b in bundles
+    ]
+    # forward edge for even lanes, backward for odd lanes
+    L0 = len(lanes)
+    edges = []
+    fwd_flags = []
+    for q, bundle in enumerate(bundles):
+        path = LcbEngine.Path(eng)
+        path.init(bundle.vid, bundle.ch)
+        forward = q % 2 == 0
+        vid, origin, cnt = eng.most_popular(
+            path, forward=forward, try_used=False
+        )
+        e = None
+        if vid != 0 and origin is not None:
+            e = eng.out_edge(origin) if forward else eng.in_edge(origin)
+        edges.append(e)
+        fwd_flags.append(forward)
+
+    lanes_p = _pad_lanes(lanes)
+    L = len(lanes_p)
+    ln = DeviceLanes.from_host(lanes_p)
+    eu = np.zeros(L, np.int64); ev = np.zeros(L, np.int64)
+    ech = np.zeros(L, np.int64); elen = np.zeros(L, np.int64)
+    ev_f = np.zeros(L, bool); ev_b = np.zeros(L, bool)
+    fwd = np.zeros(L, bool)
+    max_occ = 1
+    for q, e in enumerate(edges):
+        if e is None:
+            continue
+        eu[q], ev[q], ech[q], _, elen[q] = e
+        fwd[q] = fwd_flags[q]
+        (ev_f if fwd_flags[q] else ev_b)[q] = True
+        v = abs(e[1] if fwd_flags[q] else e[0])
+        max_occ = max(max_occ, int(table.occ_off[v + 1] - table.occ_off[v]))
+
+    args = (jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(ech),
+            jnp.asarray(elen))
+    mo = jnp.int64(max_occ)
+    m, b = jnp.int64(eng.m), jnp.int64(eng.b)
+
+    out_t, succ_t = _push_impl_traced(
+        mo, jnp.asarray(fwd), tb, ln, *args, jnp.asarray(ev_f | ev_b), m, b
+    )
+    out_f, succ_f = _push_impl(mo, True, tb, ln, *args, jnp.asarray(ev_f), m, b)
+    out_b, succ_b = _push_impl(mo, False, tb, out_f, *args, jnp.asarray(ev_b), m, b)
+
+    succ_ref = np.where(fwd, np.asarray(succ_f), np.asarray(succ_b))
+    assert np.array_equal(np.asarray(succ_t), succ_ref)
+    for f in (x.name for x in dataclasses.fields(DeviceLanes)):
+        a = np.asarray(getattr(out_t, f))
+        c = np.asarray(getattr(out_b, f))
+        assert np.array_equal(a, c), f
+
+
+def test_device_edge_of_matches_oracle():
+    """edge_of (device out_edge/in_edge twin) must equal the oracle's edge
+    construction for every interior iterator, both strands and directions."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sibeliaz_tpu.lcb.batched_push_device import DeviceTables, edge_of
+
+    table, eng = build(510, length=1500, mut=0.03, rearrange=True)
+    tb = DeviceTables.build(table)
+
+    cases = []
+    expect = []
+    for c in range(table.n_chr):
+        n = len(table.jpos[c])
+        for s in (1, -1):
+            for i in range(n):
+                for fwd in (True, False):
+                    nbr = (i + s) if fwd else (i - s)
+                    if not (0 <= nbr < n):
+                        continue
+                    it = (c, i, s)
+                    e = eng.out_edge(it) if fwd else eng.in_edge(it)
+                    cases.append((c, i, s, fwd))
+                    expect.append(e)
+
+    c_ = jnp.asarray(np.array([x[0] for x in cases], np.int64))
+    i_ = jnp.asarray(np.array([x[1] for x in cases], np.int64))
+    s_ = jnp.asarray(np.array([x[2] for x in cases], np.int64))
+    f_ = jnp.asarray(np.array([x[3] for x in cases], bool))
+    u, v, ch, rev, ln = [np.asarray(x) for x in edge_of(tb, c_, i_, s_, f_)]
+    for q, e in enumerate(expect):
+        got = (int(u[q]), int(v[q]), int(ch[q]), int(rev[q]), int(ln[q]))
+        assert got == e, (cases[q], got, e)

@@ -67,3 +67,36 @@ def test_synteny_merges_blocks(tmp_path):
     # merged representation must not have more blocks than the input LCBs
     n_syn = out.count("Block #")
     assert 1 <= n_syn <= res.blocks_found
+
+
+def test_synteny_bulge_skip_and_inversion_boundary():
+    """Stage pruning must let chains merge across a small inserted block
+    (an A-Bruijn bulge) while a true rearrangement boundary still splits
+    blocks (postprocess/synteny.py; maf2synteny role, README.md:96-112)."""
+    from sibeliaz_tpu.postprocess.synteny import Occ, build_synteny
+
+    # genome 0: A(2k) B(40bp) C(2k) | D(2k)
+    # genome 1: A(2k)         C(2k) | -D(2k) (inverted)
+    # genome 2: A(2k) B'(35bp) C(2k)
+    occs = [
+        Occ(1, 0, 0, 2000), Occ(4, 0, 2010, 2050), Occ(2, 0, 2060, 4060),
+        Occ(3, 0, 4100, 6100),
+        Occ(1, 1, 0, 2000), Occ(2, 1, 2030, 4030),
+        Occ(-3, 1, 4100, 6100),
+        Occ(1, 2, 0, 2000), Occ(5, 2, 2010, 2045), Occ(2, 2, 2055, 4055),
+    ]
+    out = build_synteny(occs, 3, min_block=1000)
+    # A and C merge into ONE synteny block across the bulge in all genomes;
+    # D stays separate (strand flip = rearrangement boundary).
+    by_chr = {}
+    for o in out:
+        by_chr.setdefault(o.chr, []).append(o)
+    merged_ids = {abs(o.block) for o in out if o.start == 0}
+    assert len(merged_ids) == 1
+    mid = merged_ids.pop()
+    spans = sorted(
+        (o.chr, o.start, o.end) for o in out if abs(o.block) == mid
+    )
+    assert spans == [(0, 0, 4060), (1, 0, 4030), (2, 0, 4055)]
+    d_ids = {abs(o.block) for o in out if o.end == 6100}
+    assert len(d_ids) == 1 and d_ids.pop() != mid
