@@ -116,6 +116,11 @@ class DeviceLanes:
     pvid: jnp.ndarray  # [L, P_CAP] int64 sorted, BIG pad
     pdist: jnp.ndarray  # [L, P_CAP] int64
     pn: jnp.ndarray  # [L]
+    # path-end vertex registers (the mirror's right_vertex/left_vertex,
+    # oracle.py Path.right_vertex/left_vertex): updated on successful
+    # pushes, snapshotted/restored with the lane slab
+    rv: jnp.ndarray  # [L] int64 signed vid at the path's right end
+    lv: jnp.ndarray  # [L] int64 signed vid at the path's left end
 
     @classmethod
     def from_host(cls, lanes: Sequence[LaneState]) -> "DeviceLanes":
@@ -159,6 +164,12 @@ class DeviceLanes:
             pvid=jnp.asarray(pvid),
             pdist=jnp.asarray(pdist),
             pn=jnp.asarray(pn),
+            rv=jnp.asarray(
+                np.array([st.origin for st in lanes], np.int64)
+            ),
+            lv=jnp.asarray(
+                np.array([st.origin for st in lanes], np.int64)
+            ),
         )
 
     def to_host(self, lanes: Sequence[LaneState]) -> None:
@@ -499,6 +510,8 @@ def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
     state = jax.lax.fori_loop(0, max_occ, occ_step, state)
     right_flank = jnp.where(success & fwd, dval, ln.right_flank)
     left_flank = jnp.where(success & ~fwd, dval, ln.left_flank)
+    rv = jnp.where(success & fwd, ev, ln.rv)
+    lv = jnp.where(success & ~fwd, eu, ln.lv)
     out = DeviceLanes(
         chr=state["chr"], s=state["s"], fi=state["fi"], bi=state["bi"],
         fdist=state["fdist"], bdist=state["bdist"], cmp=state["cmp"],
@@ -507,7 +520,7 @@ def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
         n=state["n"], next_good=state["next_good"],
         next_insert=state["next_insert"], right_flank=right_flank,
         left_flank=left_flank, overflow=state["overflow"],
-        pvid=pvid, pdist=pdist, pn=pn,
+        pvid=pvid, pdist=pdist, pn=pn, rv=rv, lv=lv,
     )
     return out, success
 

@@ -44,7 +44,7 @@ from sibeliaz_tpu.lcb.batched_push_device import (
     P_CAP,
     DeviceLanes,
     DeviceTables,
-    _push_impl,
+    _push_impl_traced,
 )
 from sibeliaz_tpu.lcb.oracle import Bundle, Instance, LcbEngine
 
@@ -60,11 +60,12 @@ class ResidentState:
     rw: DeviceLanes  # rewind slab: state at the best forward prefix
     sn: DeviceLanes  # result slab: good list at the best positive score
     best_score: jnp.ndarray  # [L] int64
+    has_snap: jnp.ndarray  # [L] bool: ever improved with positive score
 
 
 jax.tree_util.register_pytree_node(
     ResidentState,
-    lambda st: ((st.ln, st.rw, st.sn, st.best_score), None),
+    lambda st: ((st.ln, st.rw, st.sn, st.best_score, st.has_snap), None),
     lambda aux, ch: ResidentState(*ch),
 )
 
@@ -99,11 +100,13 @@ def _score_of(tb: DeviceTables, ln: DeviceLanes, flank):
     return jnp.where(jnp.any(bad, axis=1), jnp.int64(NEG_INF_SCORE), total)
 
 
-def _push_score_snap(max_occ, forward: bool, tb: DeviceTables,
+def _push_score_snap(max_occ, fwd, tb: DeviceTables,
                      st: ResidentState, eu, ev, ech, elen, evalid, m, b,
                      flank):
-    out, success = _push_impl(
-        max_occ, forward, tb, st.ln, eu, ev, ech, elen, evalid, m, b
+    """One traced-direction push + score + snapshot maintenance; fwd is a
+    per-lane bool vector (broadcast constant for single-direction use)."""
+    out, success = _push_impl_traced(
+        max_occ, fwd, tb, st.ln, eu, ev, ech, elen, evalid, m, b
     )
     score = _score_of(tb, out, flank)
     improved = success & (score > st.best_score)
@@ -111,48 +114,82 @@ def _push_score_snap(max_occ, forward: bool, tb: DeviceTables,
     # forward pushes only happen during the forward sweep (the rewind is a
     # slab restore, not a replay), so copy-on-improve maintains the rewind
     # slab exactly at `best_right` (blocksfinder.h:271-284 semantics)
-    rw = _lanes_where(improved, out, st.rw) if forward else st.rw
+    rw = _lanes_where(improved & fwd, out, st.rw)
     sn = _lanes_where(improved & (score > 0), out, st.sn)
-    new_st = ResidentState(ln=out, rw=rw, sn=sn, best_score=best_score)
+    has_snap = st.has_snap | (improved & (score > 0))
+    new_st = ResidentState(
+        ln=out, rw=rw, sn=sn, best_score=best_score, has_snap=has_snap
+    )
     return new_st, success, score, improved, out.n, out.overflow
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _push_round(max_occ, forward: bool, tb: DeviceTables, st: ResidentState,
                 eu, ev, ech, elen, evalid, m, b, flank):
+    fwd = jnp.full(st.ln.chr.shape[:1], bool(forward))
     return _push_score_snap(
-        max_occ, forward, tb, st, eu, ev, ech, elen, evalid, m, b, flank
+        max_occ, fwd, tb, st, eu, ev, ech, elen, evalid, m, b, flank
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _walk_round(S: int, forward: bool, tb: DeviceTables, st: ResidentState,
-                rows, eu, ev, ech, elen, evalid, max_occ, m, b, flank):
-    """Apply whole edge walks for the active lanes `rows` in one program.
+_MAX_WALK = 2048  # safety bound; walks are <= the vote window by design
 
-    The edge sequence between a vote origin and its winner depends only on
-    the static junction arrays (blocksfinder.h:770-895 walks the chromosome
-    junction array), so the host precomputes it and the device applies all
-    pushes as one scan — replacing one dispatch per push.  Only the gathered
-    rows are computed on (the phase's long tail has few live lanes); results
-    scatter back into the full-resident state.  `rows` is [A] with sentinel
-    L for padding (dropped on scatter); edge arrays are [S, A]; max_occ is
-    traced (fori_loop bound), so it costs no recompiles."""
+
+@jax.jit
+def _walk_device(tb: DeviceTables, st: ResidentState, rows, c, i0, s, fwd,
+                 tvid, m, b, flank):
+    """Walk each gathered lane from its vote origin to the winner entirely
+    on device: one lax.while_loop steps all lanes in lockstep, computing
+    each push's edge with edge_of (no host edge precomputation) and
+    applying the traced-direction push+score+snapshot.  Mixed directions
+    share the call.  Returns, per gathered row: last-push success, current
+    score, n, right/left flanks, and overflow — the only scalars the host
+    protocol needs (path-end vertices live in the rv/lv lane registers).
+
+    `rows` is [A] with sentinel L for padding; (c, i0, s) is the vote's
+    origin iterator; tvid the winning vertex (blocksfinder.h:770-895)."""
+    from sibeliaz_tpu.lcb.batched_push_device import edge_of
+
     L = st.ln.chr.shape[0]
     take = jnp.clip(rows, 0, L - 1)
     work = jax.tree_util.tree_map(lambda x: x[take], st)
+    valid_row = rows < L
+    base = tb.chr_off[jnp.clip(c, 0, tb.chr_off.shape[0] - 2)]
 
-    def step(carry, es):
-        st2, success, score, improved, n, ovf = _push_score_snap(
-            max_occ, forward, tb, carry, *es, m, b, flank
+    def vid_at(i):
+        return s * tb.jid[jnp.clip(base + i, 0, tb.jid.shape[0] - 1)]
+
+    active0 = valid_row & (vid_at(i0) != tvid)
+    last0 = jnp.zeros_like(active0)
+
+    def cond(carry):
+        _, _, active, _, steps = carry
+        return jnp.any(active) & (steps < _MAX_WALK)
+
+    def body(carry):
+        w, i, active, last, steps = carry
+        eu, ev, ech, _, elen = edge_of(tb, c, i, s, fwd)
+        av = jnp.abs(jnp.where(fwd, ev, eu))
+        occ_cnt = tb.occ_off[jnp.clip(av + 1, 0, tb.occ_off.shape[0] - 1)] \
+            - tb.occ_off[jnp.clip(av, 0, tb.occ_off.shape[0] - 2)]
+        mo = jnp.max(jnp.where(active, occ_cnt, 0))
+        w2, success, _, _, _, ovf = _push_score_snap(
+            mo, fwd, tb, w, eu, ev, ech, elen, active, m, b, flank
         )
-        return st2, (success, score, improved, ovf)
+        i2 = jnp.where(active, i + jnp.where(fwd, s, -s), i)
+        last2 = jnp.where(active, success, last)
+        active2 = active & (vid_at(i2) != tvid) & ~ovf
+        return (w2, i2, active2, last2, steps + 1)
 
-    work, outs = jax.lax.scan(step, work, (eu, ev, ech, elen, evalid))
+    work, _, _, last, _ = jax.lax.while_loop(
+        cond, body, (work, i0, active0, last0, jnp.int64(0))
+    )
     st = jax.tree_util.tree_map(
         lambda full, w: full.at[rows].set(w, mode="drop"), st, work
     )
-    return st, outs, work.ln.n
+    score = _score_of(tb, work.ln, flank)
+    return (st, last, score, work.ln.n, work.ln.right_flank,
+            work.ln.left_flank, work.ln.overflow)
 
 
 @jax.jit
@@ -164,7 +201,10 @@ def _rewind_rows(st: ResidentState, rows):
         lambda full, slab: full.at[rows].set(slab[take], mode="drop"),
         st.ln, st.rw,
     )
-    return ResidentState(ln=ln, rw=st.rw, sn=st.sn, best_score=st.best_score)
+    return ResidentState(
+        ln=ln, rw=st.rw, sn=st.sn, best_score=st.best_score,
+        has_snap=st.has_snap,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -174,13 +214,20 @@ def _rewind_rows(st: ResidentState, rows):
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _vote_round(CAP: int, W: int, tb: DeviceTables, ln: DeviceLanes,
-                idx, valid, start_vid, forward, try_used, depth, b):
+                idx, valid, forward, try_used, depth, b):
     """Vote for the gathered lanes idx (read-only; invalid rows inert).
 
     Per-lane traced `forward`/`try_used` so one program serves mixed
-    directions.  Returns (best_vid, best_cnt, origin chr/idx/strand,
-    window-overflow) per gathered row."""
+    directions.  The start vertex is the lane's own path-end register
+    (rv forward, lv backward) — the host no longer supplies it.  Returns
+    (best_vid, best_cnt, origin chr/idx/strand, window-overflow) per
+    gathered row."""
     take = lambda a: jnp.take(a, idx, axis=0)
+    start_vid = jnp.where(
+        valid,
+        jnp.where(forward, take(ln.rv), take(ln.lv)),
+        jnp.int64(1) << 60,
+    )
     chr_ = take(ln.chr)[:, :CAP]
     s = take(ln.s)[:, :CAP]
     fi = take(ln.fi)[:, :CAP]
@@ -336,8 +383,10 @@ def _seed_lanes(
     chr_ = np.where(live, chr_, -1)
     pvid = np.full((L, P_CAP), BIG, np.int64)
     pdist = np.zeros((L, P_CAP), np.int64)
+    origin_vid = np.zeros(L, np.int64)
     for l in range(nb):
         pvid[l, 0] = bundles[l].vid
+        origin_vid[l] = bundles[l].vid
     pn = np.zeros(L, np.int64)
     pn[:nb] = 1
     ln = DeviceLanes(
@@ -361,83 +410,56 @@ def _seed_lanes(
         pvid=jnp.asarray(pvid),
         pdist=jnp.asarray(pdist),
         pn=jnp.asarray(pn),
+        rv=jnp.asarray(origin_vid),
+        lv=jnp.asarray(origin_vid.copy()),
     )
     return ln, n, overflow
 
 
 # --------------------------------------------------------------------------
-# per-lane protocol generator (mirror scalars only)
+# per-lane protocol generator (pure control flow; all path state on device)
 # --------------------------------------------------------------------------
 
 
-class _Mirror:
-    """Host mirror of one lane's protocol-visible scalars."""
+class _Lane:
+    """Host-visible scalars of one lane, refreshed from device returns."""
 
-    __slots__ = (
-        "right_body", "left_body", "right_flank", "left_flank",
-        "score", "best_right_len", "best_rflank", "has_snap", "n",
-    )
+    __slots__ = ("score", "right_flank", "left_flank", "n")
 
-    def __init__(self) -> None:
-        self.right_body: List[tuple] = []
-        self.left_body: List[tuple] = []
+    def __init__(self, n: int) -> None:
+        self.score = 0
         self.right_flank = 0
         self.left_flank = 0
-        self.score = 0
-        self.best_right_len = 0
-        self.best_rflank = 0
-        self.has_snap = False
-        self.n = 0
+        self.n = n
 
 
-def _protocol(eng: LcbEngine, mir: _Mirror, origin_vid: int):
-    """Process() control flow; yields primitive requests, mutates mirrors.
+def _protocol(eng: LcbEngine, lane: _Lane):
+    """Process() control flow; yields primitive requests.
 
     Requests: ("vote", forward, try_used) -> (vid, origin_it | None, cnt)
-              ("walk", forward, edges)    -> [(success, score, improved)]*S
-              ("rewind",)                 -> ()
-    """
+              ("walk", forward, origin_it, target_vid)
+                  -> (success, score, right_flank, left_flank)
+              ("rewind",) -> (right_flank, left_flank, score)
+
+    The path itself (instances, end vertices, flanks, best snapshots) lives
+    entirely on device; the generator only sequences vote/walk/rewind and
+    applies the minRun/positivity rules (blocksfinder.h:228-310).  The
+    oracle's mir.score-after-last-successful-push equals the lane's current
+    score (failed pushes do not mutate), so the walk's returned score is
+    exact."""
     min_run = eng.b * 2
 
-    def right_vertex():
-        return mir.right_body[-1][1] if mir.right_body else origin_vid
-
-    def left_vertex():
-        return mir.left_body[-1][0] if mir.left_body else origin_vid
-
     def middle_length():
-        return mir.right_flank - mir.left_flank
+        return lane.right_flank - lane.left_flank
 
     def extend(forward):
-        start = right_vertex() if forward else left_vertex()
-        vid, origin, _ = yield ("vote", forward, False, start)
+        vid, origin, _ = yield ("vote", forward, False)
         if forward and vid == 0:
-            vid, origin, _ = yield ("vote", True, True, start)
+            vid, origin, _ = yield ("vote", True, True)
         success = False
         if vid != 0:
-            edges = []
-            it = origin
-            while eng.vid(it) != vid:
-                edges.append(eng.out_edge(it) if forward else eng.in_edge(it))
-                it = eng.nxt(it) if forward else eng.prv(it)
-            if edges:
-                res = yield ("walk", forward, edges)
-                for (succ, score, improved), edge in zip(res, edges):
-                    if succ:
-                        mir.score = score
-                        if forward:
-                            mir.right_body.append((edge[0], edge[1]))
-                            mir.right_flank += edge[4]
-                        else:
-                            mir.left_body.append((edge[0], edge[1]))
-                            mir.left_flank -= edge[4]
-                        if improved:
-                            if forward:
-                                mir.best_right_len = len(mir.right_body)
-                                mir.best_rflank = mir.right_flank
-                            if score > 0:
-                                mir.has_snap = True
-                success = res[-1][0]
+            res = yield ("walk", forward, origin, vid)
+            success, lane.score, lane.right_flank, lane.left_flank = res
         return success
 
     # forward sweep (blocksfinder.h:252-284)
@@ -448,15 +470,11 @@ def _protocol(eng: LcbEngine, mir: _Mirror, origin_vid: int):
             ret = yield from extend(True)
             if not (ret and middle_length() - prev_len <= min_run):
                 break
-            positive = positive or (mir.score > 0)
+            positive = positive or (lane.score > 0)
         if not ret or not positive:
             break
-    # rewind to best prefix: device slab restore, mirror reset
-    yield ("rewind",)
-    mir.right_body = mir.right_body[: mir.best_right_len]
-    mir.left_body = []
-    mir.right_flank = mir.best_rflank
-    mir.left_flank = 0
+    # rewind to best prefix: device slab restore
+    lane.right_flank, lane.left_flank, lane.score = yield ("rewind",)
     # backward sweep with the stray-';' semantics (blocksfinder.h:292-306)
     while True:
         prev_len = middle_length()
@@ -464,7 +482,7 @@ def _protocol(eng: LcbEngine, mir: _Mirror, origin_vid: int):
             ret = yield from extend(False)
             if not (ret and middle_length() - prev_len <= min_run):
                 break
-        positive = mir.score > 0
+        positive = lane.score > 0
         if not ret or not positive:
             break
     return None
@@ -522,11 +540,10 @@ def process_phase_resident(
 
     ln, n_host, seed_ovf = _seed_lanes(table, bundles, L)
     st = ResidentState(
-        ln=ln, rw=ln, sn=ln, best_score=jnp.zeros(L, jnp.int64)
+        ln=ln, rw=ln, sn=ln, best_score=jnp.zeros(L, jnp.int64),
+        has_snap=jnp.zeros(L, bool),
     )
-    mirrors = [_Mirror() for _ in range(nb)]
-    for i in range(nb):
-        mirrors[i].n = int(n_host[i])
+    lanes = [_Lane(int(n_host[i])) for i in range(nb)]
     fallback = [bool(seed_ovf[i]) for i in range(nb)]
     gens: List[Optional[object]] = []
     pending: List[Optional[tuple]] = [None] * nb
@@ -535,7 +552,7 @@ def process_phase_resident(
         if fallback[i]:
             gens.append(None)
             return
-        g = _protocol(eng, mirrors[i], bundles[i].vid)
+        g = _protocol(eng, lanes[i])
         gens.append(g)
         try:
             pending[i] = g.send(None)
@@ -563,7 +580,7 @@ def process_phase_resident(
             stats["rounds"] += 1
             _t0 = _time.time()
         votes: List[int] = []
-        pushes: Dict[bool, List[int]] = {True: [], False: []}
+        walks: List[int] = []
         rewinds: List[int] = []
         for i, p in enumerate(pending):
             if p is None or gens[i] is None:
@@ -571,7 +588,7 @@ def process_phase_resident(
             if p[0] == "vote":
                 votes.append(i)
             elif p[0] == "walk":
-                pushes[p[1]].append(i)
+                walks.append(i)
             else:
                 rewinds.append(i)
 
@@ -581,7 +598,7 @@ def process_phase_resident(
         if stats is not None and votes:
             _tv = _time.time()
         while group:
-            max_n = max(mirrors[i].n for i in group)
+            max_n = max(lanes[i].n for i in group)
             while VOTE_TIERS[tier][0] < max_n:
                 tier += 1
             CAP, W = VOTE_TIERS[tier]
@@ -590,16 +607,14 @@ def process_phase_resident(
             valid = np.zeros(L2, bool)
             fwd = np.zeros(L2, bool)
             tu = np.zeros(L2, bool)
-            sv = np.full(L2, BIG, np.int64)
             for j, i in enumerate(group):
                 idx[j] = i
                 valid[j] = True
                 fwd[j] = pending[i][1]
                 tu[j] = pending[i][2]
-                sv[j] = pending[i][3]
             out = _vote_round(
                 CAP, W, tb, st.ln,
-                jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(sv),
+                jnp.asarray(idx), jnp.asarray(valid),
                 jnp.asarray(fwd), jnp.asarray(tu),
                 jnp.int64(eng.depth), jnp.int64(eng.b),
             )
@@ -623,61 +638,46 @@ def process_phase_resident(
             stats["vote_calls"] += 1
             stats["vote_s"] += _time.time() - _tv
 
-        # ---- walks: one scanned push+score+snapshot program per direction --
-        for forward in (True, False):
-            idxs = pushes[forward]
-            if not idxs:
-                continue
+        # ---- walks: one device while_loop, mixed directions ----
+        if walks:
             if stats is not None:
                 _tw = _time.time()
-            S = max(len(pending[i][2]) for i in idxs)
-            S = 1 << (S - 1).bit_length() if S > 1 else 1
-            A = min(_pad_pow2(len(idxs)), L)
+            A = min(_pad_pow2(len(walks)), L)
             rows = np.full(A, L, np.int64)
-            eu = np.zeros((S, A), np.int64)
-            ev = np.zeros((S, A), np.int64)
-            ech = np.zeros((S, A), np.int64)
-            elen = np.zeros((S, A), np.int64)
-            evalid = np.zeros((S, A), bool)
-            max_occ = 1
-            for j, i in enumerate(idxs):
+            wc = np.zeros(A, np.int64)
+            wi = np.zeros(A, np.int64)
+            ws = np.ones(A, np.int64)
+            wf = np.zeros(A, bool)
+            wt = np.full(A, BIG, np.int64)
+            for j, i in enumerate(walks):
+                _, forward, origin, tvid = pending[i]
                 rows[j] = i
-                for t, edge in enumerate(pending[i][2]):
-                    eu[t, j], ev[t, j], ech[t, j], _, elen[t, j] = edge
-                    evalid[t, j] = True
-                    v = abs(edge[1] if forward else edge[0])
-                    max_occ = max(
-                        max_occ,
-                        int(table.occ_off[v + 1] - table.occ_off[v]),
-                    )
-            st, outs, n_work = _walk_round(
-                int(S), forward, tb, st, jnp.asarray(rows),
-                jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(ech),
-                jnp.asarray(elen), jnp.asarray(evalid), jnp.int64(max_occ),
+                wc[j], wi[j], ws[j] = origin
+                wf[j] = forward
+                wt[j] = tvid
+            st, last, score, n_w, rfl, lfl, ovf = _walk_device(
+                tb, st, jnp.asarray(rows), jnp.asarray(wc), jnp.asarray(wi),
+                jnp.asarray(ws), jnp.asarray(wf), jnp.asarray(wt),
                 jnp.int64(eng.m), jnp.int64(eng.b), jnp.int64(eng.flank),
             )
-            success, score, improved, ovf = [np.asarray(x) for x in outs]
-            n_work = np.asarray(n_work)
-            for j, i in enumerate(idxs):
-                ns = len(pending[i][2])
-                if ovf[:ns, j].any():
+            last = np.asarray(last)
+            score = np.asarray(score)
+            n_w = np.asarray(n_w)
+            rfl = np.asarray(rfl)
+            lfl = np.asarray(lfl)
+            ovf = np.asarray(ovf)
+            for j, i in enumerate(walks):
+                if ovf[j]:
                     kill(i)
                 else:
-                    mirrors[i].n = int(n_work[j])
+                    lanes[i].n = int(n_w[j])
                     resume(
                         i,
-                        [
-                            (
-                                bool(success[t, j]),
-                                int(score[t, j]),
-                                bool(improved[t, j]),
-                            )
-                            for t in range(ns)
-                        ],
+                        (bool(last[j]), int(score[j]), int(rfl[j]),
+                         int(lfl[j])),
                     )
             if stats is not None:
                 stats["walk_calls"] += 1
-                stats["walk_steps"] += int(S)
                 stats["walk_s"] += _time.time() - _tw
 
         # ---- rewinds: masked slab restore ----
@@ -689,9 +689,11 @@ def process_phase_resident(
             rows[: len(rewinds)] = rewinds
             st = _rewind_rows(st, jnp.asarray(rows))
             nn = np.asarray(st.ln.n)
+            rfl = np.asarray(st.ln.right_flank)
+            lfl = np.asarray(st.ln.left_flank)
             for i in rewinds:
-                mirrors[i].n = int(nn[i])
-                resume(i, ())
+                lanes[i].n = int(nn[i])
+                resume(i, (int(rfl[i]), int(lfl[i]), 0))
             if stats is not None:
                 stats["rewind_s"] += _time.time() - _tr
 
@@ -720,12 +722,13 @@ def process_phase_resident(
             "bfin", "good_seq", "n",
         )
     }
+    snap_host = np.asarray(st.has_snap)
     results: List[List[Instance]] = []
     for i in range(nb):
         if fallback[i]:
             results.append(eng.process(bundles[i]))
             continue
-        if not mirrors[i].has_snap:
+        if not snap_host[i]:
             results.append([])
             continue
         ni = int(h["n"][i])
