@@ -664,7 +664,20 @@ def junction_records_compact_v8(codes_u8: jnp.ndarray, k: int, capacity: int):
         junction_s, idx_s.astype(jnp.int64), idx_s.astype(jnp.int64) + n
     )
     _, out_pos, out_id = jax.lax.sort((key2, idx_s, signed), num_keys=1)
-    return count, out_pos[:capacity], out_id[:capacity]
+    out_pos = out_pos[:capacity]
+    out_id = out_id[:capacity]
+    # Positions are ascending, so ship them as uint16 deltas (2 B/junction
+    # instead of 4) when no gap overflows 16 bits; the host checks the
+    # escape count (one scalar) and falls back to the absolute array only
+    # in the rare overflow case.  On this environment's ~12 MB/s tunnel the
+    # payload bytes are the graph stage's bottleneck.
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), out_pos[:-1]])
+    delta = out_pos - prev
+    row = jnp.arange(out_pos.shape[0], dtype=jnp.int32)
+    in_count = row < count
+    n_escape = jnp.sum((in_count & (delta > 65535)).astype(jnp.int32))
+    delta_u16 = jnp.clip(delta, 0, 65535).astype(jnp.uint16)
+    return count, out_pos, out_id, delta_u16, n_escape
 
 
 def _v7_core(codes_u8: jnp.ndarray, k: int):
@@ -792,7 +805,7 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
     # standalone random gathers/scatters, no segment ops) + on-device signed
     # id assignment, so the d2h payload is 8 bytes/junction and the host
     # does no id work.
-    count, out_pos, out_id = _junction_kernel_compact_v8(
+    count, out_pos, out_id, delta_u16, n_escape = _junction_kernel_compact_v8(
         jnp.asarray(codes), k, capacity
     )
     count = int(count)
@@ -809,9 +822,15 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
         ids = np.searchsorted(uniq, fidx) + 1
         signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
     else:
-        # slice on device so only 8 bytes per junction cross to the host
-        jpos = np.asarray(out_pos[:count]).astype(np.int64)
+        # 6 bytes per junction cross to the host (uint16 pos deltas +
+        # int32 signed ids); absolute positions only on delta overflow
         signed = np.asarray(out_id[:count]).astype(np.int64)
+        if int(n_escape) == 0:
+            jpos = np.cumsum(
+                np.asarray(delta_u16[:count]).astype(np.int64)
+            )
+        else:
+            jpos = np.asarray(out_pos[:count]).astype(np.int64)
 
     # Split global positions back into chromosomes (separator widths = 1).
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)

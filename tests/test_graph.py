@@ -146,7 +146,7 @@ def test_v8_device_ids_match_v7_host_assignment():
                 jnp.asarray(codes), k, cap
             )
         ]
-        c8, p8, i8 = [
+        c8, p8, i8, d8, esc8 = [
             np.asarray(x)
             for x in construct._junction_kernel_compact_v8(
                 jnp.asarray(codes), k, cap
@@ -159,3 +159,23 @@ def test_v8_device_ids_match_v7_host_assignment():
         signed7 = np.where(fl7[:c7] & 1, ids, -ids)
         assert np.array_equal(p7[:c7], p8[:c8])
         assert np.array_equal(signed7, i8[:c8])
+        # the uint16 delta stream must reconstruct the positions exactly
+        assert int(esc8) == 0
+        assert np.array_equal(
+            np.cumsum(d8[:c8].astype(np.int64)), p8[:c8].astype(np.int64)
+        )
+
+
+def test_delta_escape_path_long_n_spacer():
+    """A >65535-bp N spacer forces a position delta that overflows the
+    uint16 stream; build_junctions must detect the escape and fall back to
+    absolute positions, matching the oracle exactly."""
+    rng = np.random.default_rng(77)
+    left = alphabet.decode(rng.integers(0, 4, size=3000).astype(np.uint8))
+    right = alphabet.decode(rng.integers(0, 4, size=3000).astype(np.uint8))
+    spacer = np.full(70_000, ord("N"), np.uint8)
+    seq = np.concatenate([left, spacer, right])
+    seqs = [seq, np.concatenate([left.copy(), right.copy()])]
+    got = construct.build_junctions(seqs, 15)
+    want = oracle.enumerate_junctions(seqs, 15)
+    assert_same(want, got)
