@@ -42,7 +42,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "with native fallback; identical output)",
     )
     p.add_argument(
-        "--lcb-engine", choices=("native", "oracle", "tpu"), default="native",
+        "--lcb-engine", choices=("native", "oracle", "tpu", "tpu-fused"),
+        default="native",
         help="LCB exploration engine (tpu = resident-device batched phase "
         "exploration with host-oracle fallback lanes; identical output)",
     )

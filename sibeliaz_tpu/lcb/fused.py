@@ -1,0 +1,352 @@
+"""Fused per-phase LCB device state machine (batched-LCB slice 15).
+
+lcb/resident.py keeps the whole phase's lane state on device but still
+issues one vote + one walk dispatch per extension round, with the
+minRun/positivity/rewind protocol (blocksfinder.h:228-310) as host control
+flow over scalars.  Here that protocol itself is traced: per-lane stage
+registers (forward sweep / backward sweep), the positivity and prev-length
+registers, and the rewind transition become jnp selects inside one
+lax.while_loop — an entire 256-bundle phase is ONE device dispatch.
+
+Per traced step every active lane performs exactly one extend attempt
+(vote -> forward-only used-retry vote -> walk-to-winner), then the
+protocol registers advance:
+
+  forward sweep (blocksfinder.h:252-269): a lane whose extend succeeded
+  within minRun = 2b of the outer iteration's start length stays in the
+  inner loop and accumulates positivity; otherwise the inner loop breaks —
+  ret & positive opens a new outer iteration, anything else transitions to
+  the backward sweep through the best-prefix rewind (a masked slab
+  restore, blocksfinder.h:271-284);
+
+  backward sweep (blocksfinder.h:292-306): same stepping with the stray-';'
+  semantics — positivity is evaluated once per outer iteration from the
+  score after the inner loop exits.
+
+Capacity policy (exactness is never traded):
+  * tier 1 runs every lane with small vote caps (CAP=64 instances kept in
+    the vote, window W=16); a lane whose vote would overflow either cap is
+    flagged and re-run from its seed in tier 2 (CAP=I_CAP, W=256) — the
+    protocol is deterministic against the phase-frozen `used` snapshot, so
+    a from-seed replay is exact.  Tier 2 runs in chunks of <=32 lanes (the
+    W=256 window is memory-hungry).
+  * lanes overflowing hard capacities (I_CAP instances, P_CAP path
+    vertices, walk/step safety bounds) fall back to the host oracle, like
+    the resident engine.
+
+The serial validate/commit loop stays in LcbEngine.run — it defines the
+deterministic output order (blocksfinder.h:369-427).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sibeliaz_tpu.lcb.batched_push import I_CAP
+from sibeliaz_tpu.lcb.batched_push_device import DeviceTables, edge_of
+from sibeliaz_tpu.lcb.oracle import Bundle, Instance, LcbEngine
+from sibeliaz_tpu.lcb.resident import (
+    BIG,
+    PHASE_LANES,
+    ResidentState,
+    _device_tables,
+    _lanes_where,
+    _pad_pow2,
+    _push_score_snap,
+    _score_of,
+    _seed_lanes,
+    _vote_gathered,
+)
+
+SMALL_CAP = 64  # vote instance cap for phases whose seeds all fit it
+WIDE_W = 256  # escalated vote window (W=16 covers depth-8 + dense regions)
+VOTE_BUDGET = 1 << 22  # max L*CAP*W elements per dispatch (memory bound)
+MAX_STEPS = 4096  # extend attempts per lane (safety; ~10-100 typical)
+_MAX_WALK = 2048  # pushes per walk (safety; walks fit the vote window)
+
+
+def _walk_masked(tb: DeviceTables, st: ResidentState, valid, c, i0, s, fwd,
+                 tvid, m, b, flank):
+    """Walk every valid lane from its vote origin (c, i0, s) to the winner
+    tvid in one nested lax.while_loop — lcb/resident.py's _walk_device
+    without the gather/scatter (the fused step already operates on the full
+    lane set; pushes are masked by `valid`, so inert lanes never mutate).
+    Returns (state, last-push success, current score)."""
+    base = tb.chr_off[jnp.clip(c, 0, tb.chr_off.shape[0] - 2)]
+
+    def vid_at(i):
+        return s * tb.jid[jnp.clip(base + i, 0, tb.jid.shape[0] - 1)]
+
+    active0 = valid & (vid_at(i0) != tvid)
+    last0 = jnp.zeros_like(active0)
+
+    def cond(carry):
+        _, _, active, _, steps = carry
+        return jnp.any(active) & (steps < _MAX_WALK)
+
+    def body(carry):
+        w, i, active, last, steps = carry
+        eu, ev, ech, _, elen = edge_of(tb, c, i, s, fwd)
+        av = jnp.abs(jnp.where(fwd, ev, eu))
+        occ_cnt = tb.occ_off[jnp.clip(av + 1, 0, tb.occ_off.shape[0] - 1)] \
+            - tb.occ_off[jnp.clip(av, 0, tb.occ_off.shape[0] - 2)]
+        mo = jnp.max(jnp.where(active, occ_cnt, 0))
+        w2, success, _, _, _, ovf = _push_score_snap(
+            mo, fwd, tb, w, eu, ev, ech, elen, active, m, b, flank
+        )
+        i2 = jnp.where(active, i + jnp.where(fwd, s, -s), i)
+        last2 = jnp.where(active, success, last)
+        active2 = active & (vid_at(i2) != tvid) & ~ovf
+        return (w2, i2, active2, last2, steps + 1)
+
+    st, _, _, last, _ = jax.lax.while_loop(
+        cond, body, (st, i0, active0, last0, jnp.int64(0))
+    )
+    score = _score_of(tb, st.ln, flank)
+    return st, last, score
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _phase_fused(CAP: int, W: int, tb: DeviceTables, st: ResidentState,
+                 active0, depth, m, b, flank, min_run):
+    """Run the complete per-bundle protocol for every lane to completion.
+
+    Returns (state, retier, hostfb, steps): `retier` lanes hit a vote
+    capacity (re-run from seed at a bigger tier), `hostfb` lanes hit a hard
+    capacity (host oracle re-runs them); both sets' device state is
+    abandoned."""
+    L = st.ln.chr.shape[0]
+    rows = jnp.arange(L, dtype=jnp.int64)
+    zero_vote = (
+        jnp.zeros(L, jnp.int64), jnp.zeros(L, jnp.int64),
+        jnp.zeros(L, jnp.int64), jnp.zeros(L, jnp.int64),
+        jnp.ones(L, jnp.int64), jnp.zeros(L, jnp.int32),
+    )
+
+    def cond(carry):
+        return jnp.any(carry["active"]) & (carry["steps"] < MAX_STEPS)
+
+    def body(carry):
+        st = carry["st"]
+        stage = carry["stage"]
+        positive = carry["positive"]
+        prev_len = carry["prev_len"]
+        score_reg = carry["score"]
+        active = carry["active"]
+        retier = carry["retier"]
+        hostfb = carry["hostfb"]
+        fwd = stage == 0
+
+        # ---- vote (+ forward-only used-retry, blocksfinder.h:780-785) ----
+        cap_ovf = active & (st.ln.n > CAP)
+        votable = active & ~cap_ovf
+        bvid, _, ochr, oidx, ostr, wovf = _vote_gathered(
+            CAP, W, tb, st.ln, rows, votable,
+            fwd, jnp.zeros(L, bool), depth, b,
+        )
+        need_retry = votable & fwd & (bvid == 0) & (wovf == 0)
+        bvid2, _, ochr2, oidx2, ostr2, wovf2 = jax.lax.cond(
+            jnp.any(need_retry),
+            lambda: _vote_gathered(
+                CAP, W, tb, st.ln, rows, need_retry,
+                fwd, need_retry, depth, b,
+            ),
+            lambda: zero_vote,
+        )
+        bvid = jnp.where(need_retry, bvid2, bvid)
+        ochr = jnp.where(need_retry, ochr2, ochr)
+        oidx = jnp.where(need_retry, oidx2, oidx)
+        ostr = jnp.where(need_retry, ostr2, ostr)
+        vote_ovf = cap_ovf | (votable & (wovf > 0)) | (
+            need_retry & (wovf2 > 0)
+        )
+        retier = retier | vote_ovf
+        active = active & ~vote_ovf
+
+        # ---- walk to the winner ----
+        do_walk = active & (bvid != 0)
+        st, last, wscore = _walk_masked(
+            tb, st, do_walk, ochr, oidx,
+            jnp.where(do_walk, ostr, 1),
+            fwd, jnp.where(do_walk, bvid, BIG), m, b, flank,
+        )
+        push_ovf = active & st.ln.overflow
+        hostfb = hostfb | push_ovf
+        active = active & ~push_ovf
+        did = do_walk & ~push_ovf
+        score_reg = jnp.where(did, wscore, score_reg)
+        ret = did & last
+
+        # ---- protocol registers (blocksfinder.h:252-306) ----
+        middle = st.ln.right_flank - st.ln.left_flank
+        cont = ret & (middle - prev_len <= min_run)
+        positive = positive | (fwd & cont & (score_reg > 0))
+        brk = active & ~cont
+        outer_cont = jnp.where(fwd, ret & positive, ret & (score_reg > 0))
+        new_outer = brk & outer_cont
+        prev_len = jnp.where(new_outer, middle, prev_len)
+        positive = positive & ~(new_outer & fwd)
+        to_bwd = brk & ~outer_cont & fwd
+        done = brk & ~outer_cont & ~fwd
+        active = active & ~done
+
+        # fwd -> bwd: best-prefix rewind as a masked slab restore
+        st = ResidentState(
+            ln=_lanes_where(to_bwd, st.rw, st.ln), rw=st.rw, sn=st.sn,
+            best_score=st.best_score, has_snap=st.has_snap,
+        )
+        stage = jnp.where(to_bwd, 1, stage)
+        score_reg = jnp.where(to_bwd, 0, score_reg)
+        positive = positive & ~to_bwd
+        prev_len = jnp.where(
+            to_bwd, st.ln.right_flank - st.ln.left_flank, prev_len
+        )
+        return dict(
+            st=st, stage=stage, positive=positive, prev_len=prev_len,
+            score=score_reg, active=active, retier=retier, hostfb=hostfb,
+            steps=carry["steps"] + 1,
+        )
+
+    init = dict(
+        st=st,
+        stage=jnp.zeros(L, jnp.int32),
+        positive=jnp.zeros(L, bool),
+        prev_len=jnp.zeros(L, jnp.int64),
+        score=jnp.zeros(L, jnp.int64),
+        active=active0,
+        retier=jnp.zeros(L, bool),
+        hostfb=jnp.zeros(L, bool),
+        steps=jnp.int64(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    hostfb = out["hostfb"] | out["active"]  # step-bound exhaustion
+    return out["st"], out["retier"], hostfb, out["steps"]
+
+
+def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
+              L: int, tier) -> tuple:
+    """Seed + run one tier; returns (snapshot dict, has_snap, retier,
+    hostfb, steps) as host arrays."""
+    CAP, W = tier
+    ln, _, seed_ovf = _seed_lanes(eng.t, bundles, L)
+    st = ResidentState(
+        ln=ln, rw=ln, sn=ln, best_score=jnp.zeros(L, jnp.int64),
+        has_snap=jnp.zeros(L, bool),
+    )
+    active0 = jnp.asarray(
+        (np.arange(L) < len(bundles)) & ~seed_ovf
+    )
+    st, retier, hostfb, steps = _phase_fused(
+        CAP, W, tb, st, active0,
+        jnp.int64(eng.depth), jnp.int64(eng.m), jnp.int64(eng.b),
+        jnp.int64(eng.flank), jnp.int64(eng.b * 2),
+    )
+    h = {
+        f: np.asarray(getattr(st.sn, f))
+        for f in (
+            "chr", "s", "fi", "bi", "fdist", "bdist", "cmp", "ffin",
+            "bfin", "good_seq", "n",
+        )
+    }
+    hostfb = np.asarray(hostfb) | np.asarray(seed_ovf)
+    return h, np.asarray(st.has_snap), np.asarray(retier), hostfb, int(steps)
+
+
+def _instances_from_snapshot(h, i: int) -> List[Instance]:
+    """Decode lane i's result slab into the oracle's Instance list (good
+    instances in good_seq order — the snapshot order of Path.good)."""
+    ni = int(h["n"][i])
+    gs = h["good_seq"][i][:ni]
+    rows = np.flatnonzero(gs >= 0)
+    rows = rows[np.argsort(gs[rows])]
+    out: List[Instance] = []
+    for q in rows:
+        inst = Instance(int(h["chr"][i][q]), int(h["s"][i][q]), 0, 0)
+        inst.fi = int(h["fi"][i][q])
+        inst.bi = int(h["bi"][i][q])
+        inst.fdist = int(h["fdist"][i][q])
+        inst.bdist = int(h["bdist"][i][q])
+        inst.cmp = int(h["cmp"][i][q])
+        inst.ffin = bool(h["ffin"][i][q])
+        inst.bfin = bool(h["bfin"][i][q])
+        out.append(inst)
+    return out
+
+
+def process_phase_fused(
+    eng: LcbEngine, bundles: Sequence[Bundle]
+) -> List[List[Instance]]:
+    """Explore a phase with the fused device state machine.
+
+    Tier ladder: (CAP, 16) with CAP sized from the phase's seed counts,
+    then (I_CAP, 16), then (I_CAP, WIDE_W); a lane whose vote overflows a
+    cap re-runs from its seed at the next tier (exact — the protocol is
+    deterministic against the phase-frozen `used` snapshot).  Dispatches
+    are chunked so L*CAP*W stays under VOTE_BUDGET.  Hard-capacity lanes
+    (I_CAP instances / P_CAP path / step bounds) go to the host oracle."""
+    import os
+    import sys
+    import time as _time
+
+    nb = len(bundles)
+    if nb == 0:
+        return []
+    stats = os.environ.get("SZ_FUSED_STATS")
+    t0 = _time.time()
+    tb = _device_tables(eng)
+
+    cap0 = SMALL_CAP if max(b.count for b in bundles) <= SMALL_CAP else I_CAP
+    tiers = [(cap0, 16)]
+    if cap0 != I_CAP:
+        tiers.append((I_CAP, 16))
+    tiers.extend([(I_CAP, 64), (I_CAP, WIDE_W)])
+
+    results: List[List[Instance]] = [[] for _ in range(nb)]
+    work = list(range(nb))
+    oracle: List[int] = []
+    n_disp = 0
+    steps0 = 0
+    for t, (CAP, W) in enumerate(tiers):
+        last = t == len(tiers) - 1
+        chunk = max(8, min(PHASE_LANES, VOTE_BUDGET // (CAP * W)))
+        escalate: List[int] = []
+        for lo in range(0, len(work), chunk):
+            group = work[lo:lo + chunk]
+            sub = [bundles[i] for i in group]
+            L = _pad_pow2(len(group), 8 if t else 32)
+            h, snap, retier, hostfb, steps = _run_tier(
+                eng, tb, sub, L, (CAP, W)
+            )
+            n_disp += 1
+            if t == 0:
+                steps0 = max(steps0, steps)
+            for j, i in enumerate(group):
+                if hostfb[j] or (retier[j] and last):
+                    oracle.append(i)
+                elif retier[j]:
+                    escalate.append(i)
+                elif snap[j]:
+                    results[i] = _instances_from_snapshot(h, j)
+        work = escalate
+
+    for i in oracle:
+        results[i] = eng.process(bundles[i])
+
+    if stats:
+        print(
+            f"[fused] phase nb={nb} cap0={cap0} steps={steps0} "
+            f"dispatches={n_disp} oracle={len(oracle)} "
+            f"total={_time.time() - t0:.1f}s",
+            file=sys.stderr, flush=True,
+        )
+    return results
+
+
+def run_fused(eng: LcbEngine):
+    """Full LCB run with fused-phase device exploration."""
+    return eng.run(process_batch_fn=process_phase_fused)

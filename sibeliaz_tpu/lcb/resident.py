@@ -212,9 +212,8 @@ def _rewind_rows(st: ResidentState, rows):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _vote_round(CAP: int, W: int, tb: DeviceTables, ln: DeviceLanes,
-                idx, valid, forward, try_used, depth, b):
+def _vote_gathered(CAP: int, W: int, tb: DeviceTables, ln: DeviceLanes,
+                   idx, valid, forward, try_used, depth, b):
     """Vote for the gathered lanes idx (read-only; invalid rows inert).
 
     Per-lane traced `forward`/`try_used` so one program serves mixed
@@ -293,64 +292,56 @@ def _vote_round(CAP: int, W: int, tb: DeviceTables, ln: DeviceLanes,
     alive = jnp.cumprod(cont.astype(jnp.int32), axis=2) > 0
     overflow = jnp.any(alive[:, :, W - 1], axis=1).astype(jnp.int32)
 
-    # order-free winner reduction (docs/design.md §3)
-    V = jnp.max(jnp.abs(tb.jid)) + 1
-    lane_of = jnp.broadcast_to(
-        jnp.arange(L, dtype=jnp.int64)[:, None, None], vid.shape
-    )
-    key = jnp.where(
-        alive, lane_of * (2 * V + 1) + (vid + V), jnp.int64(-1)
-    ).reshape(-1)
+    # order-free winner reduction (docs/design.md §3), per-lane batched:
+    # both sorts run along one [CAP*W] axis with L as a batch dimension, so
+    # the TPU sorts L independent small sequences instead of one giant
+    # lane-key-prefixed sequence (same comparisons, lane keys now implicit)
+    CW = CAP * W
+    keyv = jnp.where(alive, vid, BIG).reshape(L, CW)
     arrival = order_seq[:, :, None] * W + (d - 1)[None, None, :]
-    arr_f = jnp.broadcast_to(arrival, vid.shape).reshape(-1)
-    okey_f = jnp.broadcast_to(okey[:, :, None], vid.shape).reshape(-1)
-    vid_f = vid.reshape(-1)
-    w_f = jnp.broadcast_to(weight[:, :, None], vid.shape).reshape(-1)
-    slot_f = jnp.broadcast_to(col[:, :, None], vid.shape).reshape(-1)
+    arr_f = jnp.broadcast_to(arrival, vid.shape).reshape(L, CW)
+    okey_f = jnp.broadcast_to(okey[:, :, None], vid.shape).reshape(L, CW)
+    vid_f = vid.reshape(L, CW)
+    w_f = jnp.broadcast_to(weight[:, :, None], vid.shape).reshape(L, CW)
+    slot_f = jnp.broadcast_to(col[:, :, None], vid.shape).reshape(L, CW)
 
     k2, a2, o2, v2, w2, sl2 = jax.lax.sort(
-        (key, arr_f, okey_f, vid_f, w_f, slot_f), num_keys=2
+        (keyv, arr_f, okey_f, vid_f, w_f, slot_f), dimension=1, num_keys=2
     )
-    ridx = jnp.arange(k2.shape[0], dtype=jnp.int64)
-    seg_start = jnp.concatenate([jnp.ones(1, dtype=bool), k2[1:] != k2[:-1]])
-    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
-    wcum = jnp.cumsum(w2)
-    start_rank = jax.lax.cummax(jnp.where(seg_start, ridx, -1))
-    base_at = jnp.take(wcum - w2, jnp.clip(start_rank, 0, None))
+    ridx = jnp.arange(CW, dtype=jnp.int64)[None, :]
+    ones_col = jnp.ones((L, 1), dtype=bool)
+    seg_start = jnp.concatenate([ones_col, k2[:, 1:] != k2[:, :-1]], axis=1)
+    seg_end = jnp.concatenate([seg_start[:, 1:], ones_col], axis=1)
+    wcum = jnp.cumsum(w2, axis=1)
+    start_rank = jax.lax.cummax(
+        jnp.where(seg_start, jnp.broadcast_to(ridx, (L, CW)), -1), axis=1
+    )
+    base_at = jnp.take_along_axis(
+        wcum - w2, jnp.clip(start_rank, 0, None), axis=1
+    )
     final_cnt = wcum - base_at
-    is_final = seg_end & (k2 >= 0)
+    is_final = seg_end & (k2 < BIG)
 
-    lane2 = jnp.where(is_final, k2 // (2 * V + 1), jnp.int64(L))
-    neg = jnp.where(is_final, -final_cnt, NEG_SENT)
-    k3, n3, o3, a3, v3, s3 = jax.lax.sort(
-        (
-            lane2,
-            neg,
-            jnp.where(is_final, o2, NEG_SENT),
-            jnp.where(is_final, a2, NEG_SENT),
-            v2,
-            sl2,
-        ),
-        num_keys=4,
+    # rank the final-count events: most votes first, then origin-iterator
+    # order, then arrival; non-final rows sink via a positive sentinel on
+    # the (negated) count key, so column 0 is each lane's winner
+    neg = jnp.where(is_final, -final_cnt, BIG)
+    n3, o3, a3, v3, s3 = jax.lax.sort(
+        (neg, o2, a2, v2, sl2), dimension=1, num_keys=3
     )
-    lane_start = jnp.concatenate([jnp.ones(1, dtype=bool), k3[1:] != k3[:-1]])
-    win = jnp.where(lane_start & (k3 < L), k3, jnp.int64(L))
-    best_vid = jnp.zeros(L + 1, jnp.int64).at[win].set(v3, mode="drop")[:L]
-    best_cnt = jnp.zeros(L + 1, jnp.int64).at[win].set(-n3, mode="drop")[:L]
-    best_slot = jnp.zeros(L + 1, jnp.int64).at[win].set(s3, mode="drop")[:L]
-    has = (
-        jnp.zeros(L + 1, jnp.int32)
-        .at[win]
-        .set(jnp.ones_like(win, jnp.int32), mode="drop")
-    )[:L]
-    best_vid = jnp.where(has > 0, best_vid, 0)
-    best_cnt = jnp.where(has > 0, best_cnt, 0)
+    has = n3[:, 0] < 0
+    best_vid = jnp.where(has, v3[:, 0], 0)
+    best_cnt = jnp.where(has, -n3[:, 0], 0)
+    best_slot = s3[:, 0]
 
     slot_c = jnp.clip(best_slot, 0, CAP - 1)[:, None]
     ochr = jnp.take_along_axis(chr_, slot_c, axis=1)[:, 0]
     oidx = jnp.take_along_axis(end_i, slot_c, axis=1)[:, 0]
     ostr = jnp.take_along_axis(s, slot_c, axis=1)[:, 0]
     return best_vid, best_cnt, ochr, oidx, ostr, overflow
+
+
+_vote_round = functools.partial(jax.jit, static_argnums=(0, 1))(_vote_gathered)
 
 
 # --------------------------------------------------------------------------

@@ -54,7 +54,7 @@ def find_blocks(
     metrics.set("vertices", table.n_vertices)
     metrics.set("junction_records", int(sum(len(p) for p in table.jpos)))
     with metrics.stage("lcb_engine", engine=engine):
-        if engine in ("oracle", "tpu", "resident"):
+        if engine in ("oracle", "tpu", "resident", "tpu-fused"):
             from sibeliaz_tpu.lcb.oracle import LcbEngine
 
             eng = LcbEngine(
@@ -66,6 +66,10 @@ def find_blocks(
             )
             if engine == "oracle":
                 raw = eng.run()
+            elif engine == "tpu-fused":
+                from sibeliaz_tpu.lcb.fused import run_fused
+
+                raw = run_fused(eng)
             else:
                 from sibeliaz_tpu.lcb.resident import run_resident
 

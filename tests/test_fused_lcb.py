@@ -1,0 +1,60 @@
+"""Fused per-phase LCB device state machine (lcb/fused.py): exactness.
+
+The fused engine traces the complete per-bundle protocol (vote -> walk ->
+minRun/positivity/rewind transitions, blocksfinder.h:228-310) into one
+lax.while_loop per phase dispatch.  These tests assert (a) per-bundle
+best-instance snapshots identical to the oracle's Process across mixed
+tier escalations, and (b) byte-identical GFF through the full phase/commit
+protocol."""
+
+import sys
+
+sys.path.insert(0, "tests")
+
+from sibeliaz_tpu import pipeline
+from sibeliaz_tpu.config import Config
+from sibeliaz_tpu.lcb.fused import process_phase_fused, run_fused
+from sibeliaz_tpu.lcb.oracle import LcbEngine
+
+from reference_oracle import random_related_genomes
+
+
+def build(seed, **kwargs):
+    seqs, names = random_related_genomes(seed, **kwargs)
+    cfg = Config(k=15)
+    table = pipeline.build_table(seqs, names, cfg)
+    eng = LcbEngine(table, cfg.min_block_size, cfg.max_branch_size, cfg.flanking)
+    return seqs, names, cfg, table, eng
+
+
+def test_fused_phase_matches_oracle_process():
+    _, _, _, table, eng = build(520, length=1200, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:32]
+    got = process_phase_fused(eng, bundles)
+    for b, bundle in enumerate(bundles):
+        expect = eng.process(bundle)
+        g = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist, i.cmp, i.ffin, i.bfin)
+             for i in got[b]]
+        e = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist, i.cmp, i.ffin, i.bfin)
+             for i in expect]
+        assert g == e, f"bundle {b} ({bundle.vid},{bundle.ch})"
+
+
+def test_fused_full_gff_byte_equal():
+    from sibeliaz_tpu.output import gff as gff_mod
+    from sibeliaz_tpu.output import trim as trim_mod
+
+    seqs, names = random_related_genomes(521, length=1200, mut=0.03,
+                                         rearrange=True)
+    cfg = Config(k=15)
+
+    def run(fused):
+        table = pipeline.build_table(seqs, names, cfg)
+        eng = LcbEngine(table, cfg.min_block_size, cfg.max_branch_size,
+                        cfg.flanking)
+        raw = run_fused(eng) if fused else eng.run()
+        chr_lengths = [len(s) for s in seqs]
+        blocks, _ = trim_mod.trim_blocks(raw, chr_lengths, cfg.min_block_size)
+        return gff_mod.render_gff(blocks, names, chr_lengths)
+
+    assert run(True) == run(False)
