@@ -289,7 +289,10 @@ def _vote_gathered(CAP: int, W: int, tb: DeviceTables, ln: DeviceLanes,
     )
     ok_used = (~used) | try_used[:, None, None]
     cont = at_end[:, :, None] & in_range & within & ~in_path & ok_used
-    alive = jnp.cumprod(cont.astype(jnp.int32), axis=2) > 0
+    # prefix scans via associative_scan: the reduce-window lowering of
+    # cumsum/cummax/cumprod blows the TPU's scoped-vmem budget inside this
+    # fused program (log-depth slice+op trees don't)
+    alive = jax.lax.associative_scan(jnp.logical_and, cont, axis=2)
     overflow = jnp.any(alive[:, :, W - 1], axis=1).astype(jnp.int32)
 
     # order-free winner reduction (docs/design.md §3), per-lane batched:
@@ -312,9 +315,11 @@ def _vote_gathered(CAP: int, W: int, tb: DeviceTables, ln: DeviceLanes,
     ones_col = jnp.ones((L, 1), dtype=bool)
     seg_start = jnp.concatenate([ones_col, k2[:, 1:] != k2[:, :-1]], axis=1)
     seg_end = jnp.concatenate([seg_start[:, 1:], ones_col], axis=1)
-    wcum = jnp.cumsum(w2, axis=1)
-    start_rank = jax.lax.cummax(
-        jnp.where(seg_start, jnp.broadcast_to(ridx, (L, CW)), -1), axis=1
+    wcum = jax.lax.associative_scan(jnp.add, w2, axis=1)
+    start_rank = jax.lax.associative_scan(
+        jnp.maximum,
+        jnp.where(seg_start, jnp.broadcast_to(ridx, (L, CW)), -1),
+        axis=1,
     )
     base_at = jnp.take_along_axis(
         wcum - w2, jnp.clip(start_rank, 0, None), axis=1
