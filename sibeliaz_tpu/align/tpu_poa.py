@@ -49,7 +49,11 @@ _DIR_INS = 1 << 5
 
 
 def _dp_single(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_max):
-    """DP for one block; returns (dirs [N, L+1] uint8, best_r int32)."""
+    """DP for one block; returns (dirs [N, L+1] uint8, best_r int32).
+
+    `dirs` is consumed by the on-device traceback (_tb_single) and never
+    leaves HBM — shipping it d2h was the device engine's bottleneck (at
+    N=7k, L=4k it is ~29 MB per block per round)."""
     L = seq.shape[0]
     ivec = jnp.arange(L + 1, dtype=jnp.int32)
     # substitution score vector for row i (1-based): s(seq[i-1], char_r)
@@ -99,12 +103,58 @@ def _dp_single(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_max):
     return dirs, best_r
 
 
-@functools.partial(jax.jit, static_argnums=(7,))
-def _dp_batch(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_nodes, n_max):
+def _tb_single(dirs, best_r, seq_len, pred_idx, n_max, P):
+    """Traceback on device: walk dirs from (best_r, seq_len) to the virtual
+    source, emitting (rank, seqpos) per step (-1 encodes None) into fixed
+    [P] registers.  Mirrors the host/spec traceback's order and tie-breaks
+    exactly; the caller reverses the emitted prefix."""
+    out_r = jnp.full(P, -1, jnp.int32)
+    out_i = jnp.full(P, -1, jnp.int32)
+
+    def cond(c):
+        i, r, at_src, t, _, _ = c
+        return ((i > 0) | ~at_src) & (t < P)
+
+    def body(c):
+        i, r, at_src, t, our, oui = c
+        d = dirs[r, jnp.maximum(i, 0)]
+        is_ins = ~at_src & ((d & _DIR_INS) != 0)
+        is_match = ~at_src & ((d & _DIR_INS) == 0) & ((d & _DIR_MATCH) != 0)
+        is_del = ~at_src & ((d & _DIR_INS) == 0) & ((d & _DIR_MATCH) == 0)
+        gap_seq = at_src | is_ins  # emit (None, i-1)
+        emit_r = jnp.where(gap_seq, -1, r)
+        emit_i = jnp.where(gap_seq | is_match, i - 1, -1)
+        our = our.at[t].set(emit_r.astype(jnp.int32))
+        oui = oui.at[t].set(emit_i.astype(jnp.int32))
+        step_i = gap_seq | is_match
+        i2 = jnp.where(step_i, i - 1, i)
+        slot = (d & 0xF).astype(jnp.int32)
+        p = pred_idx[r, slot]
+        follow = is_match | is_del
+        at_src2 = at_src | (follow & (p == n_max))
+        r2 = jnp.where(follow & (p != n_max), p, r)
+        return (i2, r2, at_src2, t + 1, our, oui)
+
+    _, _, _, t, out_r, out_i = jax.lax.while_loop(
+        cond, body,
+        (seq_len.astype(jnp.int32), best_r, jnp.bool_(False),
+         jnp.int32(0), out_r, out_i),
+    )
+    return out_r, out_i, t
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _dp_tb_batch(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask,
+                 n_nodes, n_max, P):
+    """Fused DP + traceback per block; only the O(L+N) paths leave HBM."""
     del n_nodes
-    return jax.vmap(
-        lambda a, b, c, d, e, f: _dp_single(a, b, c, d, e, f, n_max)
-    )(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask)
+
+    def one(a, b, c, d, e, f):
+        dirs, best_r = _dp_single(a, b, c, d, e, f, n_max)
+        return _tb_single(dirs, best_r, b, d, n_max, P)
+
+    return jax.vmap(one)(seq, seq_len, node_char, pred_idx, pred_ok,
+                         sink_mask)
 
 
 class _BlockState:
@@ -145,37 +195,6 @@ def _extract_arrays(g: PoaGraph, n_max: int):
             pred_ok[r, 0] = True
         sink[r] = not g.succs[nid]
     return topo, node_char, pred_idx, pred_ok, sink
-
-
-def _traceback(dirs, best_r, seq_len, topo, pred_idx, n_max):
-    aln: List[Tuple[Optional[int], Optional[int]]] = []
-    i = int(seq_len)
-    r = int(best_r)
-    at_src = False
-    while i > 0 or not at_src:
-        if at_src:
-            aln.append((None, i - 1))
-            i -= 1
-            continue
-        d = int(dirs[r, i])
-        nid = topo[r]
-        if d & _DIR_INS:
-            aln.append((None, i - 1))
-            i -= 1
-            continue
-        slot = d & 0xF
-        p = int(pred_idx[r, slot])
-        if d & _DIR_MATCH:
-            aln.append((nid, i - 1))
-            i -= 1
-        else:
-            aln.append((nid, None))
-        if p == n_max:
-            at_src = True
-        else:
-            r = p
-    aln.reverse()
-    return aln
 
 
 def poa_msa_batch_tpu(
@@ -223,17 +242,28 @@ def poa_msa_batch_tpu(
             pi_b[j] = pi
             po_b[j] = po
             sink_b[j] = sk
-        dirs, best_r = _dp_batch(
+        P = L + n_max + 2
+        out_r, out_i, tcount = _dp_tb_batch(
             jnp.asarray(seq_b), jnp.asarray(len_b), jnp.asarray(char_b),
             jnp.asarray(pi_b), jnp.asarray(po_b), jnp.asarray(sink_b),
-            jnp.asarray(len_b), n_max,
+            jnp.asarray(len_b), n_max, P,
         )
-        dirs = np.asarray(dirs)
-        best_r = np.asarray(best_r)
+        out_r = np.asarray(out_r)
+        out_i = np.asarray(out_i)
+        tcount = np.asarray(tcount)
         for j, (b, (topo, nc, pi, po, sk)) in enumerate(arrs):
             st = states[b]
             s = st.seqs[st.next]
-            aln = _traceback(dirs[j], best_r[j], len(s), topo, pi, n_max)
+            t = int(tcount[j])
+            if t >= P:  # traceback register overflow (cannot happen for a
+                st.fallback = True  # well-formed DP; never trust garbage)
+                continue
+            aln: List[Tuple[Optional[int], Optional[int]]] = []
+            for q in range(t - 1, -1, -1):
+                r = int(out_r[j, q])
+                i = int(out_i[j, q])
+                aln.append((topo[r] if r >= 0 else None,
+                            i if i >= 0 else None))
             st.graph.add_alignment(aln, s)
             st.next += 1
 
