@@ -41,6 +41,7 @@ import numpy as np
 from sibeliaz_tpu.align.poa_ref import GAP, MATCH, MISMATCH, PoaGraph
 
 MAX_PREDS = 8
+_TILE = 8  # topo ranks per scan step (amortizes per-step scan overhead)
 NEG = -(2**29)
 
 # direction encoding: bits 0-3 pred slot, bit 4 match, bit 5 insertion
@@ -53,29 +54,26 @@ def _dp_single(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_max):
 
     `dirs` is consumed by the on-device traceback (_tb_single) and never
     leaves HBM — shipping it d2h was the device engine's bottleneck (at
-    N=7k, L=4k it is ~29 MB per block per round)."""
+    N=7k, L=4k it is ~29 MB per block per round).  A rolling-window H
+    variant (O(D*L) scratch) was tried and measured 4-5x SLOWER here: the
+    modular gather/update indices defeat XLA's in-place scan aliasing, so
+    the full [n_max+1, L+1] carry stays."""
     L = seq.shape[0]
     ivec = jnp.arange(L + 1, dtype=jnp.int32)
-    # substitution score vector for row i (1-based): s(seq[i-1], char_r)
-    # computed per scan step from the node char.
     src_col = (GAP * ivec).astype(jnp.int32)  # virtual source column
+    seq0 = jnp.concatenate([jnp.zeros(1, jnp.uint8), seq])
 
-    # carry: H rows for all nodes plus the source column in row n_max;
-    # row r is written with a dynamic_update_slice per scan step.
-    def step2(carry, xs):
-        H, r = carry
-        char_r, pidx, pok = xs
+    # carry: H rows for all nodes plus the source column in row n_max; the
+    # scan processes _TILE consecutive topo ranks per step (straight-line
+    # inner unroll; rank t sees ranks t' < t through the updated H).
+    def one_rank(H, r, char_r, pidx, pok):
         predH = jnp.where(pok[:, None], H[pidx], NEG)
         shifted = jnp.concatenate(
             [jnp.full((MAX_PREDS, 1), NEG, jnp.int32), predH[:, :-1]], axis=1
         )
         diag_best = jnp.max(shifted, axis=0)
         diag_slot = jnp.argmax(shifted, axis=0).astype(jnp.uint8)
-        subs = jnp.where(
-            jnp.concatenate([jnp.zeros(1, jnp.uint8), seq]) == char_r,
-            MATCH,
-            MISMATCH,
-        ).astype(jnp.int32)
+        subs = jnp.where(seq0 == char_r, MATCH, MISMATCH).astype(jnp.int32)
         diag = diag_best + subs
         horiz_best = jnp.max(predH, axis=0)
         horiz_slot = jnp.argmax(predH, axis=0).astype(jnp.uint8)
@@ -89,13 +87,30 @@ def _dp_single(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_max):
         )
         d = jnp.where(is_ins, jnp.uint8(_DIR_INS), d)
         H = jax.lax.dynamic_update_slice(H, col[None, :], (r, jnp.int32(0)))
-        return (H, r + 1), d
+        return H, d
 
+    def step2(carry, xs):
+        H, r = carry
+        chars, pidxs, poks = xs
+        ds = []
+        for t in range(_TILE):
+            H, d = one_rank(H, r + t, chars[t], pidxs[t], poks[t])
+            ds.append(d)
+        return (H, r + _TILE), jnp.stack(ds)
+
+    n_tiles = n_max // _TILE
     H0 = jnp.full((n_max + 1, L + 1), NEG, jnp.int32)
     H0 = H0.at[n_max].set(src_col)
     (H, _), dirs = jax.lax.scan(
-        step2, (H0, jnp.int32(0)), (node_char, pred_idx, pred_ok)
+        step2,
+        (H0, jnp.int32(0)),
+        (
+            node_char.reshape(n_tiles, _TILE),
+            pred_idx.reshape(n_tiles, _TILE, MAX_PREDS),
+            pred_ok.reshape(n_tiles, _TILE, MAX_PREDS),
+        ),
     )
+    dirs = dirs.reshape(n_max, L + 1)
     # sink selection at row seq_len: max score, then smallest rank
     scores = H[:n_max, seq_len]
     scores = jnp.where(sink_mask, scores, NEG)
@@ -143,11 +158,10 @@ def _tb_single(dirs, best_r, seq_len, pred_idx, n_max, P):
     return out_r, out_i, t
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8))
+@functools.partial(jax.jit, static_argnums=(6, 7))
 def _dp_tb_batch(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask,
-                 n_nodes, n_max, P):
+                 n_max, P):
     """Fused DP + traceback per block; only the O(L+N) paths leave HBM."""
-    del n_nodes
 
     def one(a, b, c, d, e, f):
         dirs, best_r = _dp_single(a, b, c, d, e, f, n_max)
@@ -197,23 +211,44 @@ def _extract_arrays(g: PoaGraph, n_max: int):
     return topo, node_char, pred_idx, pred_ok, sink
 
 
+HBM_BUDGET = 6 << 30  # bytes of device scratch per dispatch (H + dirs)
+
+
 def poa_msa_batch_tpu(
     blocks_seqs: Sequence[Sequence[np.ndarray]],
     node_budget_factor: float = 1.75,
 ) -> List[Optional[List[bytes]]]:
     """MSA per block computed with the device DP; None for blocks that fell
-    back (caller should route those to the native engine)."""
+    back (caller should route those to the native engine).
+
+    Blocks are bucketed by padded sequence length so a 100 bp block never
+    pays a 16 kbp block's (L, n_max) pad, and each bucket's dispatches are
+    capped so the per-block H + dirs scratch fits HBM_BUDGET."""
     if not blocks_seqs:
         return []
-    states = [_BlockState([np.asarray(s, dtype=np.uint8) for s in seqs])
-              for seqs in blocks_seqs]
-    # bucket dims: shared across all blocks (simple round-1 policy)
-    max_len = max(max(len(s) for s in st.seqs) for st in states)
-    L = max(64, 1 << (max_len - 1).bit_length())
-    n_max = int(L * node_budget_factor)
+    all_states = [_BlockState([np.asarray(s, dtype=np.uint8) for s in seqs])
+                  for seqs in blocks_seqs]
+    buckets: dict = {}
+    for b, st in enumerate(all_states):
+        max_len = max(len(s) for s in st.seqs)
+        L = max(64, 1 << (max_len - 1).bit_length())
+        buckets.setdefault(L, []).append(b)
+    for L, members in sorted(buckets.items()):
+        n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
+        per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)  # H + dirs
+        b_cap = max(1, HBM_BUDGET // per_block)
+        _run_bucket(all_states, members, L, n_max, int(b_cap))
+    out: List[Optional[List[bytes]]] = []
+    for st in all_states:
+        out.append(None if st.fallback else st.graph.msa())
+    return out
 
-    while any(not st.done for st in states):
-        active = [b for b, st in enumerate(states) if not st.done]
+
+def _run_bucket(states: List[_BlockState], members: List[int], L: int,
+                n_max: int, b_cap: int) -> None:
+    """Drive one (L, n_max) bucket's blocks to completion."""
+    while any(not states[b].done for b in members):
+        active = [b for b in members if not states[b].done][:b_cap]
         arrs = []
         for b in active:
             st = states[b]
@@ -246,12 +281,12 @@ def poa_msa_batch_tpu(
         out_r, out_i, tcount = _dp_tb_batch(
             jnp.asarray(seq_b), jnp.asarray(len_b), jnp.asarray(char_b),
             jnp.asarray(pi_b), jnp.asarray(po_b), jnp.asarray(sink_b),
-            jnp.asarray(len_b), n_max, P,
+            n_max, P,
         )
         out_r = np.asarray(out_r)
         out_i = np.asarray(out_i)
         tcount = np.asarray(tcount)
-        for j, (b, (topo, nc, pi, po, sk)) in enumerate(arrs):
+        for j, (b, (topo, *_rest)) in enumerate(arrs):
             st = states[b]
             s = st.seqs[st.next]
             t = int(tcount[j])
@@ -266,8 +301,3 @@ def poa_msa_batch_tpu(
                             i if i >= 0 else None))
             st.graph.add_alignment(aln, s)
             st.next += 1
-
-    out: List[Optional[List[bytes]]] = []
-    for st in states:
-        out.append(None if st.fallback else st.graph.msa())
-    return out
