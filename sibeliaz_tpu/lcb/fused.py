@@ -41,11 +41,12 @@ deterministic output order (blocksfinder.h:369-427).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sibeliaz_tpu.lcb.batched_push import I_CAP
 from sibeliaz_tpu.lcb.batched_push_device import DeviceTables, edge_of
@@ -229,9 +230,15 @@ def _phase_fused(CAP: int, W: int, tb: DeviceTables, st: ResidentState,
 
 
 def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
-              L: int, tier) -> tuple:
+              L: int, tier, mesh: Optional[Mesh] = None) -> tuple:
     """Seed + run one tier; returns (snapshot dict, has_snap, retier,
-    hostfb, steps) as host arrays."""
+    hostfb, steps) as host arrays.
+
+    With a mesh, the lane axis is sharded over its "lanes" dimension —
+    lanes never communicate (each explores one bundle against the
+    phase-frozen snapshot), so GSPMD partitions the whole state machine
+    with collectives only for the loop-condition/any-retry scalars and the
+    walk's traced occurrence bound."""
     CAP, W = tier
     ln, _, seed_ovf = _seed_lanes(eng.t, bundles, L)
     st = ResidentState(
@@ -241,6 +248,16 @@ def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
     active0 = jnp.asarray(
         (np.arange(L) < len(bundles)) & ~seed_ovf
     )
+    if mesh is not None:
+        def lane_put(x):
+            spec = P("lanes", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        st = jax.tree_util.tree_map(lane_put, st)
+        active0 = lane_put(active0)
+        tb = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), tb
+        )
     st, retier, hostfb, steps = _phase_fused(
         CAP, W, tb, st, active0,
         jnp.int64(eng.depth), jnp.int64(eng.m), jnp.int64(eng.b),
@@ -279,7 +296,8 @@ def _instances_from_snapshot(h, i: int) -> List[Instance]:
 
 
 def process_phase_fused(
-    eng: LcbEngine, bundles: Sequence[Bundle]
+    eng: LcbEngine, bundles: Sequence[Bundle],
+    mesh: Optional[Mesh] = None,
 ) -> List[List[Instance]]:
     """Explore a phase with the fused device state machine.
 
@@ -318,9 +336,10 @@ def process_phase_fused(
         for lo in range(0, len(work), chunk):
             group = work[lo:lo + chunk]
             sub = [bundles[i] for i in group]
-            L = _pad_pow2(len(group), 8 if t else 32)
+            lane_min = max(8 if t else 32, mesh.size if mesh else 1)
+            L = _pad_pow2(len(group), lane_min)
             h, snap, retier, hostfb, steps = _run_tier(
-                eng, tb, sub, L, (CAP, W)
+                eng, tb, sub, L, (CAP, W), mesh=mesh
             )
             n_disp += 1
             if t == 0:
@@ -347,6 +366,9 @@ def process_phase_fused(
     return results
 
 
-def run_fused(eng: LcbEngine):
-    """Full LCB run with fused-phase device exploration."""
-    return eng.run(process_batch_fn=process_phase_fused)
+def run_fused(eng: LcbEngine, mesh: Optional[Mesh] = None):
+    """Full LCB run with fused-phase device exploration; pass a Mesh with a
+    "lanes" axis to shard each phase's lanes over multiple chips."""
+    return eng.run(
+        process_batch_fn=functools.partial(process_phase_fused, mesh=mesh)
+    )

@@ -40,6 +40,27 @@ def test_fused_phase_matches_oracle_process():
         assert g == e, f"bundle {b} ({bundle.vid},{bundle.ch})"
 
 
+def test_fused_phase_sharded_over_mesh():
+    """Lanes sharded over an 8-device mesh: bit-equal to the oracle (the
+    multi-chip LCB exploration path; lanes never communicate, GSPMD only
+    inserts collectives for the loop-condition scalars)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    _, _, _, table, eng = build(522, length=1200, mut=0.03, rearrange=True)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("lanes",))
+    bundles = eng.make_bundles()[:32]
+    got = process_phase_fused(eng, bundles, mesh=mesh)
+    for b, bundle in enumerate(bundles):
+        expect = eng.process(bundle)
+        g = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist, i.cmp, i.ffin, i.bfin)
+             for i in got[b]]
+        e = [(i.c, i.s, i.fi, i.bi, i.fdist, i.bdist, i.cmp, i.ffin, i.bfin)
+             for i in expect]
+        assert g == e, f"bundle {b} ({bundle.vid},{bundle.ch})"
+
+
 def test_fused_full_gff_byte_equal():
     from sibeliaz_tpu.output import gff as gff_mod
     from sibeliaz_tpu.output import trim as trim_mod
