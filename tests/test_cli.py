@@ -86,3 +86,19 @@ def test_cli_tpu_lcb_engine(tmp_path):
     assert (out_n / "blocks_coords.gff").read_text() == (
         out_t / "blocks_coords.gff"
     ).read_text()
+
+
+def test_cli_tpu_fused_lcb_engine(tmp_path):
+    """--lcb-engine tpu-fused (single-dispatch phase state machine)
+    produces a GFF byte-identical to the native engine's."""
+    seqs, names = random_related_genomes(53, length=2000, mut=0.02,
+                                         rearrange=True)
+    fa = write_inputs(tmp_path, seqs, names)
+    out_n = tmp_path / "out_native2"
+    out_f = tmp_path / "out_fused"
+    assert run(["-k", "15", "-n", "-o", str(out_n), fa]) == 0
+    assert run(["-k", "15", "-n", "-o", str(out_f),
+                "--lcb-engine", "tpu-fused", fa]) == 0
+    assert (out_n / "blocks_coords.gff").read_text() == (
+        out_f / "blocks_coords.gff"
+    ).read_text()
