@@ -680,6 +680,55 @@ def junction_records_compact_v8(codes_u8: jnp.ndarray, k: int, capacity: int):
     return count, out_pos, out_id, delta_u16, n_escape
 
 
+def junction_records_compact_v9(codes_u8: jnp.ndarray, k: int, capacity: int):
+    """v8 with a 4-byte packed payload.
+
+    Junction gaps average a few bp (every branching k-mer is a junction),
+    so positions ship as uint8 deltas (255 = in-band escape sentinel; the
+    host gathers those rows' absolute positions afterwards) and ids as
+    24-bit two's-complement (guarded: the host falls back to the absolute
+    int32 arrays if any id needs more), packed into one uint32 word per
+    junction — a single contiguous 4 B/junction d2h stream (6 B in v8);
+    the tunnel transfer, not the kernel, dominates this stage here."""
+    n = codes_u8.shape[0]
+    junction_s, first_s, idx_s, packed_s, seg_start = _v7_core(codes_u8, k)
+
+    row = jnp.arange(n, dtype=jnp.int32)
+    fkey = jnp.where(junction_s, first_s, jnp.int32(0x7FFFFFFF))
+    fkey_s, row_s = jax.lax.sort((fkey, row), num_keys=1)
+    new_class = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), fkey_s[1:] != fkey_s[:-1]]
+    )
+    crank = jnp.cumsum(new_class.astype(jnp.int32))  # 1-based class rank
+    _, sid = jax.lax.sort((row_s, crank), num_keys=1)
+    signed = jnp.where(((packed_s >> 11) & 1) > 0, sid, -sid)
+
+    count = jnp.sum(junction_s.astype(jnp.int64)).astype(jnp.int32)
+    key2 = jnp.where(
+        junction_s, idx_s.astype(jnp.int64), idx_s.astype(jnp.int64) + n
+    )
+    _, out_pos, out_id = jax.lax.sort((key2, idx_s, signed), num_keys=1)
+    out_pos = out_pos[:capacity]
+    out_id = out_id[:capacity]
+
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), out_pos[:-1]])
+    delta = out_pos - prev
+    rowc = jnp.arange(out_pos.shape[0], dtype=jnp.int32)
+    in_count = rowc < count
+    id_ovf = (
+        jnp.max(jnp.where(in_count, jnp.abs(out_id), 0)) >= (1 << 23)
+    )
+    # one uint32 word per junction: delta byte | 24-bit id << 8 (pure
+    # elementwise packing — the remote toolchain segfaults on a byte
+    # interleave via stack+reshape, and on an escape-compaction sort at
+    # the 16M bucket, so 255 is an in-band escape sentinel instead: the
+    # host gathers the few >=255-gap rows' absolute positions afterwards)
+    u = out_id.astype(jnp.uint32)
+    d8 = jnp.clip(delta, 0, 255).astype(jnp.uint32)
+    pack = d8 | ((u & 0xFFFFFF) << 8)
+    return count, out_pos, out_id, pack, id_ovf
+
+
 def _v7_core(codes_u8: jnp.ndarray, k: int):
     """Shared canon-sort + cummax class analysis (v7/v8).  Returns, in
     canon-sorted row order: junction flag, class-first index (int32),
@@ -769,6 +818,9 @@ _junction_kernel_compact_v7 = jax.jit(
 _junction_kernel_compact_v8 = jax.jit(
     junction_records_compact_v8, static_argnums=(1, 2)
 )
+_junction_kernel_compact_v9 = jax.jit(
+    junction_records_compact_v9, static_argnums=(1, 2)
+)
 _junction_kernel_compact_v2 = jax.jit(
     junction_records_compact_v2, static_argnums=(1, 2)
 )
@@ -801,11 +853,12 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
         )
     codes = alphabet.encode(joined)
     capacity = max(4096, len(joined) // 3)
-    # v8 = payload-carrying sorts + running-maximum class broadcasts (no
+    # v9 = payload-carrying sorts + running-maximum class broadcasts (no
     # standalone random gathers/scatters, no segment ops) + on-device signed
-    # id assignment, so the d2h payload is 8 bytes/junction and the host
-    # does no id work.
-    count, out_pos, out_id, delta_u16, n_escape = _junction_kernel_compact_v8(
+    # id assignment + 4-byte packed payload (uint8 pos deltas with a sorted
+    # escape list, 24-bit ids), so the host does no id work and one
+    # contiguous 4 B/junction stream crosses the tunnel.
+    count, out_pos, out_id, pack, id_ovf = _junction_kernel_compact_v9(
         jnp.asarray(codes), k, capacity
     )
     count = int(count)
@@ -821,16 +874,25 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
         uniq = np.unique(fidx)
         ids = np.searchsorted(uniq, fidx) + 1
         signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
-    else:
-        # 6 bytes per junction cross to the host (uint16 pos deltas +
-        # int32 signed ids); absolute positions only on delta overflow
+    elif bool(id_ovf):
+        # guard rail: >=2^23 distinct vertex classes — ship absolute int32
         signed = np.asarray(out_id[:count]).astype(np.int64)
-        if int(n_escape) == 0:
-            jpos = np.cumsum(
-                np.asarray(delta_u16[:count]).astype(np.int64)
+        jpos = np.asarray(out_pos[:count]).astype(np.int64)
+    else:
+        p = np.asarray(pack[:count])  # ONE 4 B/junction transfer
+        delta = (p & 0xFF).astype(np.int64)
+        er = np.flatnonzero(delta == 255)  # escape sentinel: gap >= 255
+        if len(er):
+            gat = jnp.asarray(
+                np.concatenate([er, np.maximum(er - 1, 0)]).astype(np.int64)
             )
-        else:
-            jpos = np.asarray(out_pos[:count]).astype(np.int64)
+            vals = np.asarray(jnp.take(out_pos, gat)).astype(np.int64)
+            pe = vals[: len(er)]
+            pp = np.where(er > 0, vals[len(er):], 0)
+            delta[er] = pe - pp
+        jpos = np.cumsum(delta)
+        signed = (p >> 8).astype(np.int64)
+        signed = np.where(signed >= (1 << 23), signed - (1 << 24), signed)
 
     # Split global positions back into chromosomes (separator widths = 1).
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
