@@ -25,9 +25,32 @@ from typing import Dict, List, Sequence, Tuple
 
 from sibeliaz_tpu.postprocess.maf import parse_maf
 
-# Simplification schedule mirroring maf2synteny's documented "-s fine"
+# Simplification schedules mirroring maf2synteny's documented "-s" presets'
 # intent: progressively larger bubble/gap bounds with noise thresholds.
+# Each stage is (max_gap, min_noise).
 DEFAULT_STAGES = [(30, 10), (100, 100), (500, 1000), (1500, 5000), (5000, 15000)]
+FINE_STAGES = DEFAULT_STAGES[:3]
+
+
+def parse_stages(spec: str) -> List[Tuple[int, int]]:
+    """Resolve a -s argument: 'loose' (default schedule), 'fine', or a path
+    to a parameter file with one '<max_gap> <min_noise>' pair per line
+    (blank lines and '#' comments ignored)."""
+    if spec == "loose":
+        return list(DEFAULT_STAGES)
+    if spec == "fine":
+        return list(FINE_STAGES)
+    stages: List[Tuple[int, int]] = []
+    with open(spec) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            gap, noise = line.split()
+            stages.append((int(gap), int(noise)))
+    if not stages:
+        raise ValueError(f"no simplification stages in {spec!r}")
+    return stages
 
 
 @dataclasses.dataclass

@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     p.add_argument("input", help="blocks_coords.gff or alignment.maf")
     p.add_argument("-o", dest="outdir", default="synteny_out")
     p.add_argument("-b", dest="sizes", type=int, nargs="+", default=[5000])
+    p.add_argument(
+        "-s", dest="simpl", default="loose",
+        help="simplification schedule: 'fine', 'loose', or a parameter "
+        "file with one '<max_gap> <min_noise>' pair per line",
+    )
 
     args = ap.parse_args(argv)
 
@@ -61,7 +66,10 @@ def main(argv=None) -> int:
     elif args.cmd == "synteny":
         from sibeliaz_tpu.postprocess import synteny
 
-        synteny.run(args.input, args.outdir, args.sizes)
+        synteny.run(
+            args.input, args.outdir, args.sizes,
+            stages=synteny.parse_stages(args.simpl),
+        )
     return 0
 
 

@@ -100,3 +100,31 @@ def test_synteny_bulge_skip_and_inversion_boundary():
     assert spans == [(0, 0, 4060), (1, 0, 4030), (2, 0, 4055)]
     d_ids = {abs(o.block) for o in out if o.end == 6100}
     assert len(d_ids) == 1 and d_ids.pop() != mid
+
+
+def test_synteny_parse_stages(tmp_path):
+    assert synteny.parse_stages("loose") == synteny.DEFAULT_STAGES
+    assert synteny.parse_stages("fine") == synteny.FINE_STAGES
+    f = tmp_path / "params.txt"
+    f.write_text("# custom schedule\n30 10\n\n200 500  # wide\n")
+    assert synteny.parse_stages(str(f)) == [(30, 10), (200, 500)]
+
+
+def test_synteny_cli_simpl_flag(tmp_path):
+    from sibeliaz_tpu.tools import main as tools_main
+
+    gff = tmp_path / "in.gff"
+    gff.write_text(
+        "##gff-version 3.1.26\n"
+        "##sequence-region g1 1 3000\n"
+        "##sequence-region g2 1 3000\n"
+        "g1\tSibeliaZ\tSO:0000856\t1\t1000\t.\t+\t.\tID=1\n"
+        "g2\tSibeliaZ\tSO:0000856\t1\t1000\t.\t+\t.\tID=1\n"
+        "g1\tSibeliaZ\tSO:0000856\t1011\t2000\t.\t+\t.\tID=2\n"
+        "g2\tSibeliaZ\tSO:0000856\t1011\t2000\t.\t+\t.\tID=2\n"
+    )
+    out = tmp_path / "syn"
+    assert tools_main(
+        ["synteny", str(gff), "-o", str(out), "-b", "100", "-s", "fine"]
+    ) == 0
+    assert (out / "100" / "blocks_coords.txt").exists()
