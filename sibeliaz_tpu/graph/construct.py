@@ -693,21 +693,25 @@ def junction_records_compact_v9(codes_u8: jnp.ndarray, k: int, capacity: int):
     n = codes_u8.shape[0]
     junction_s, first_s, idx_s, packed_s, seg_start = _v7_core(codes_u8, k)
 
-    row = jnp.arange(n, dtype=jnp.int32)
+    # Rank class-first positions with ONE payload-carrying sort (ids = dense
+    # ascending ranks of class first-occurrence, +1; sign = orientation
+    # flag), then compact straight from first-key order to position order —
+    # v8's separate rank-back sort folds into the compaction sort.
     fkey = jnp.where(junction_s, first_s, jnp.int32(0x7FFFFFFF))
-    fkey_s, row_s = jax.lax.sort((fkey, row), num_keys=1)
+    sign_bit = ((packed_s >> 11) & 1).astype(jnp.int32)
+    fkey_s, idx2, sgn2 = jax.lax.sort((fkey, idx_s, sign_bit), num_keys=1)
     new_class = jnp.concatenate(
         [jnp.ones(1, dtype=bool), fkey_s[1:] != fkey_s[:-1]]
     )
     crank = jnp.cumsum(new_class.astype(jnp.int32))  # 1-based class rank
-    _, sid = jax.lax.sort((row_s, crank), num_keys=1)
-    signed = jnp.where(((packed_s >> 11) & 1) > 0, sid, -sid)
+    signed = jnp.where(sgn2 > 0, crank, -crank)
+    isj = fkey_s < jnp.int32(0x7FFFFFFF)
 
     count = jnp.sum(junction_s.astype(jnp.int64)).astype(jnp.int32)
     key2 = jnp.where(
-        junction_s, idx_s.astype(jnp.int64), idx_s.astype(jnp.int64) + n
+        isj, idx2.astype(jnp.int64), idx2.astype(jnp.int64) + n
     )
-    _, out_pos, out_id = jax.lax.sort((key2, idx_s, signed), num_keys=1)
+    _, out_pos, out_id = jax.lax.sort((key2, idx2, signed), num_keys=1)
     out_pos = out_pos[:capacity]
     out_id = out_id[:capacity]
 
