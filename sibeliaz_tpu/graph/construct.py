@@ -902,14 +902,17 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
     for i, L in enumerate(lengths):
         offsets[i + 1] = offsets[i] + L + 1  # +1 separator
+    # jpos is globally ascending (the compaction sort keys by position), so
+    # chromosome boundaries are two binary searches per chromosome instead
+    # of a full-array mask pass each.
     out: List[JunctionChr] = []
     for c in range(len(seqs)):
         lo, hi = offsets[c], offsets[c] + lengths[c]
-        m = (jpos >= lo) & (jpos < hi)
+        a, b = np.searchsorted(jpos, (lo, hi))
         out.append(
             JunctionChr(
-                pos=(jpos[m] - lo).astype(np.uint32),
-                ids=signed[m],
+                pos=(jpos[a:b] - lo).astype(np.uint32),
+                ids=signed[a:b],
             )
         )
     return out
