@@ -236,8 +236,11 @@ def poa_msa_batch_tpu(
     for L, members in sorted(buckets.items()):
         n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
         per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)  # H + dirs
-        b_cap = max(1, HBM_BUDGET // per_block)
-        _run_bucket(all_states, members, L, n_max, int(b_cap))
+        # round the cap DOWN to a power of two: _run_bucket pads batches up
+        # to a power of two, which must never exceed the memory budget
+        b_cap = max(1, int(HBM_BUDGET // per_block))
+        b_cap = 1 << (b_cap.bit_length() - 1)
+        _run_bucket(all_states, members, L, n_max, b_cap)
     out: List[Optional[List[bytes]]] = []
     for st in all_states:
         out.append(None if st.fallback else st.graph.msa())

@@ -62,6 +62,8 @@ from sibeliaz_tpu.lcb.resident import (
     _score_of,
     _seed_lanes,
     _vote_gathered,
+    instances_from_snapshot,
+    snapshot_to_host,
 )
 
 SMALL_CAP = 64  # vote instance cap for phases whose seeds all fit it
@@ -263,36 +265,12 @@ def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
         jnp.int64(eng.depth), jnp.int64(eng.m), jnp.int64(eng.b),
         jnp.int64(eng.flank), jnp.int64(eng.b * 2),
     )
-    h = {
-        f: np.asarray(getattr(st.sn, f))
-        for f in (
-            "chr", "s", "fi", "bi", "fdist", "bdist", "cmp", "ffin",
-            "bfin", "good_seq", "n",
-        )
-    }
     hostfb = np.asarray(hostfb) | np.asarray(seed_ovf)
-    return h, np.asarray(st.has_snap), np.asarray(retier), hostfb, int(steps)
-
-
-def _instances_from_snapshot(h, i: int) -> List[Instance]:
-    """Decode lane i's result slab into the oracle's Instance list (good
-    instances in good_seq order — the snapshot order of Path.good)."""
-    ni = int(h["n"][i])
-    gs = h["good_seq"][i][:ni]
-    rows = np.flatnonzero(gs >= 0)
-    rows = rows[np.argsort(gs[rows])]
-    out: List[Instance] = []
-    for q in rows:
-        inst = Instance(int(h["chr"][i][q]), int(h["s"][i][q]), 0, 0)
-        inst.fi = int(h["fi"][i][q])
-        inst.bi = int(h["bi"][i][q])
-        inst.fdist = int(h["fdist"][i][q])
-        inst.bdist = int(h["bdist"][i][q])
-        inst.cmp = int(h["cmp"][i][q])
-        inst.ffin = bool(h["ffin"][i][q])
-        inst.bfin = bool(h["bfin"][i][q])
-        out.append(inst)
-    return out
+    # the result slab itself is fetched lazily by the caller — a chunk
+    # whose lanes all escalate shouldn't pay the [L, I_CAP] transfer
+    return st.sn, np.asarray(st.has_snap), np.asarray(retier), hostfb, int(
+        steps
+    )
 
 
 def process_phase_fused(
@@ -336,21 +314,27 @@ def process_phase_fused(
         for lo in range(0, len(work), chunk):
             group = work[lo:lo + chunk]
             sub = [bundles[i] for i in group]
-            lane_min = max(8 if t else 32, mesh.size if mesh else 1)
-            L = _pad_pow2(len(group), lane_min)
-            h, snap, retier, hostfb, steps = _run_tier(
+            L = _pad_pow2(len(group), 8 if t else 32)
+            if mesh is not None:  # lane axis must split evenly over devices
+                L = -(-L // mesh.size) * mesh.size
+            sn, snap, retier, hostfb, steps = _run_tier(
                 eng, tb, sub, L, (CAP, W), mesh=mesh
             )
             n_disp += 1
             if t == 0:
                 steps0 = max(steps0, steps)
+            decode = [
+                j for j in range(len(group))
+                if snap[j] and not hostfb[j] and not retier[j]
+            ]
+            h = snapshot_to_host(sn) if decode else None
             for j, i in enumerate(group):
                 if hostfb[j] or (retier[j] and last):
                     oracle.append(i)
                 elif retier[j]:
                     escalate.append(i)
                 elif snap[j]:
-                    results[i] = _instances_from_snapshot(h, j)
+                    results[i] = instances_from_snapshot(h, j)
         work = escalate
 
     for i in oracle:

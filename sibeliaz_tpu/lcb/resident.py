@@ -513,6 +513,38 @@ def _pad_pow2(m: int, lo: int = 8) -> int:
     return max(lo, 1 << (m - 1).bit_length()) if m > 1 else lo
 
 
+_SNAP_FIELDS = (
+    "chr", "s", "fi", "bi", "fdist", "bdist", "cmp", "ffin", "bfin",
+    "good_seq", "n",
+)
+
+
+def snapshot_to_host(sn: DeviceLanes) -> Dict[str, np.ndarray]:
+    """Fetch the result-slab fields needed to decode Instances."""
+    return {f: np.asarray(getattr(sn, f)) for f in _SNAP_FIELDS}
+
+
+def instances_from_snapshot(h: Dict[str, np.ndarray], i: int) -> List[Instance]:
+    """Decode lane i's result slab into the oracle's Instance list (good
+    instances in good_seq order — the snapshot order of Path.good)."""
+    ni = int(h["n"][i])
+    gs = h["good_seq"][i][:ni]
+    rows = np.flatnonzero(gs >= 0)
+    rows = rows[np.argsort(gs[rows])]
+    out: List[Instance] = []
+    for q in rows:
+        inst = Instance(int(h["chr"][i][q]), int(h["s"][i][q]), 0, 0)
+        inst.fi = int(h["fi"][i][q])
+        inst.bi = int(h["bi"][i][q])
+        inst.fdist = int(h["fdist"][i][q])
+        inst.bdist = int(h["bdist"][i][q])
+        inst.cmp = int(h["cmp"][i][q])
+        inst.ffin = bool(h["ffin"][i][q])
+        inst.bfin = bool(h["bfin"][i][q])
+        out.append(inst)
+    return out
+
+
 def process_phase_resident(
     eng: LcbEngine, bundles: Sequence[Bundle]
 ) -> List[List[Instance]]:
@@ -710,39 +742,16 @@ def process_phase_resident(
         )
 
     # ---- collect results: one bulk snapshot fetch ----
-    sn = st.sn
-    h = {
-        f: np.asarray(getattr(sn, f))
-        for f in (
-            "chr", "s", "fi", "bi", "fdist", "bdist", "cmp", "ffin",
-            "bfin", "good_seq", "n",
-        )
-    }
+    h = snapshot_to_host(st.sn)
     snap_host = np.asarray(st.has_snap)
     results: List[List[Instance]] = []
     for i in range(nb):
         if fallback[i]:
             results.append(eng.process(bundles[i]))
-            continue
-        if not snap_host[i]:
+        elif snap_host[i]:
+            results.append(instances_from_snapshot(h, i))
+        else:
             results.append([])
-            continue
-        ni = int(h["n"][i])
-        gs = h["good_seq"][i][:ni]
-        rows = np.flatnonzero(gs >= 0)
-        rows = rows[np.argsort(gs[rows])]
-        out: List[Instance] = []
-        for q in rows:
-            inst = Instance(int(h["chr"][i][q]), int(h["s"][i][q]), 0, 0)
-            inst.fi = int(h["fi"][i][q])
-            inst.bi = int(h["bi"][i][q])
-            inst.fdist = int(h["fdist"][i][q])
-            inst.bdist = int(h["bdist"][i][q])
-            inst.cmp = int(h["cmp"][i][q])
-            inst.ffin = bool(h["ffin"][i][q])
-            inst.bfin = bool(h["bfin"][i][q])
-            out.append(inst)
-        results.append(out)
     return results
 
 

@@ -42,12 +42,19 @@ def parse_stages(spec: str) -> List[Tuple[int, int]]:
         return list(FINE_STAGES)
     stages: List[Tuple[int, int]] = []
     with open(spec) as f:
-        for line in f:
+        for ln, line in enumerate(f, start=1):
             line = line.split("#")[0].strip()
             if not line:
                 continue
-            gap, noise = line.split()
-            stages.append((int(gap), int(noise)))
+            parts = line.split()
+            if len(parts) != 2 or not all(
+                p.lstrip("-").isdigit() for p in parts
+            ):
+                raise ValueError(
+                    f"{spec}:{ln}: expected '<max_gap> <min_noise>', "
+                    f"got {line!r}"
+                )
+            stages.append((int(parts[0]), int(parts[1])))
     if not stages:
         raise ValueError(f"no simplification stages in {spec!r}")
     return stages

@@ -167,15 +167,32 @@ def test_v8_device_ids_match_v7_host_assignment():
 
 
 def test_delta_escape_path_long_n_spacer():
-    """A >65535-bp N spacer forces a position delta that overflows the
-    uint16 stream; build_junctions must detect the escape and fall back to
-    absolute positions, matching the oracle exactly."""
+    """A huge N spacer forces a position delta far beyond the packed uint8
+    delta stream; build_junctions must take the escape-sentinel path
+    (gather the absolute positions for those rows) and match the oracle."""
     rng = np.random.default_rng(77)
     left = alphabet.decode(rng.integers(0, 4, size=3000).astype(np.uint8))
     right = alphabet.decode(rng.integers(0, 4, size=3000).astype(np.uint8))
     spacer = np.full(70_000, ord("N"), np.uint8)
     seq = np.concatenate([left, spacer, right])
     seqs = [seq, np.concatenate([left.copy(), right.copy()])]
+    got = construct.build_junctions(seqs, 15)
+    want = oracle.enumerate_junctions(seqs, 15)
+    assert_same(want, got)
+
+
+def test_delta_escape_path_many_moderate_gaps():
+    """Sparse junctions with many gaps in the 255..65535 range: every such
+    row takes the v9 escape sentinel (uint8 delta overflow) and the host
+    reconstructs each from gathered absolute positions — including the
+    leading gap before the first junction."""
+    rng = np.random.default_rng(177)
+    base = alphabet.decode(rng.integers(0, 4, size=8000).astype(np.uint8))
+    mut = base.copy()
+    for p in range(600, 8000, 600):  # SNPs ~600 bp apart -> >255-bp gaps
+        mut[p] = alphabet.decode(np.uint8((alphabet.encode(
+            base[p:p + 1])[0] + 1) % 4))
+    seqs = [base, mut]
     got = construct.build_junctions(seqs, 15)
     want = oracle.enumerate_junctions(seqs, 15)
     assert_same(want, got)
