@@ -101,20 +101,13 @@ def run(argv: Optional[List[str]] = None) -> int:
         print("Constructing the graph...")
         from sibeliaz_tpu.graph import construct
 
-        total = sum(len(s) for s in seqs)
-        # ~24 bytes of HBM per position in the monolithic kernel; -f GB
-        # (default 8) bounds device memory via the multi-round streamed path
-        budget_gb = args.f if args.f > 0 else 8
-        if total * 24 > budget_gb * (1 << 30):
-            from sibeliaz_tpu.graph import streamed
-
-            n_rounds = max(1, -(-total * 24 // (budget_gb * (1 << 30))))
-            print(f"  (memory-bounded mode: {n_rounds} rounds)")
-            records = streamed.build_junctions_streamed(
-                seqs, cfg.k, n_rounds=int(n_rounds)
-            )
-        else:
-            records = construct.build_junctions(seqs, cfg.k)
+        # -f GB (TwoPaCo --filtermemory role) caps device memory;
+        # build_junctions itself routes to the multi-round streamed path
+        # when the monolithic kernel's measured footprint would exceed it
+        budget = (args.f << 30) if args.f > 0 else None
+        records = construct.build_junctions(
+            seqs, cfg.k, hbm_budget_bytes=budget
+        )
     t_graph = time.time()
     if args.dump_graph:
         dbg_io.write_dbg(args.dump_graph, records)

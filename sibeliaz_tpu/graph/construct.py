@@ -833,8 +833,27 @@ _junction_kernel_compact_v3 = jax.jit(
 )
 
 
-def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
-    """Run junction enumeration on device; return per-chromosome records."""
+# Peak HBM of the monolithic kernel per bucket position, measured on v5e:
+# the 2^27 bucket compiles to a ~34.5 GB allocation plan (the multi-operand
+# sorts keep several input+output copies live).  Inputs whose bucket would
+# exceed the budget route to the multi-round streamed path automatically.
+MONOLITHIC_PEAK_BYTES_PER_POS = 270
+# Streamed-resident round peak per input position: ~170 B of buffer +
+# sort/segment operands per round row at ~1.5x bucket/rounds rows, plus
+# slack for the analysis temporaries.
+STREAMED_PEAK_BYTES_PER_POS = 384
+DEFAULT_HBM_BUDGET = 12 << 30  # leave headroom on a 16 GB chip
+
+
+def build_junctions(
+    seqs: Sequence[np.ndarray],
+    k: int,
+    hbm_budget_bytes: int | None = None,
+) -> List[JunctionChr]:
+    """Run junction enumeration on device; return per-chromosome records.
+
+    Inputs too large for the monolithic kernel's HBM footprint delegate to
+    graph/streamed.py (bit-identical output, O(chunk + N/rounds) memory)."""
     if not seqs:
         return []
     empty = [
@@ -851,6 +870,16 @@ def build_junctions(seqs: Sequence[np.ndarray], k: int) -> List[JunctionChr]:
     # Pad to a shape bucket (next power of two) so jit caches compilations
     # across inputs; trailing 'N's are invalid windows and change nothing.
     bucket = max(4096, 1 << (len(joined) - 1).bit_length())
+    budget = hbm_budget_bytes or DEFAULT_HBM_BUDGET
+    if bucket * MONOLITHIC_PEAK_BYTES_PER_POS > budget:
+        from sibeliaz_tpu.graph import streamed
+
+        n_rounds = max(
+            1, -(-(bucket * STREAMED_PEAK_BYTES_PER_POS) // budget)
+        )
+        return streamed.build_junctions_streamed_resident(
+            seqs, k, n_rounds=int(n_rounds)
+        )
     if bucket > len(joined):
         joined = np.concatenate(
             [joined, np.full(bucket - len(joined), ord("N"), dtype=np.uint8)]

@@ -122,6 +122,186 @@ def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
     return isj, first_of_class[class_of]
 
 
+# ---------------------------------------------------------------------------
+# Device-resident rounds (v2): instead of shipping every position's
+# occurrence evidence to the host for bucketing (~13 B/position d2h, then
+# the same back h2d per round — the dominant cost at chromosome scale on a
+# slow link), keep the 2-bit code stream RESIDENT on device and rescan it
+# once per round, filtering to the round's canon bucket on device.  This is
+# TwoPaCo's multiple-rounds idea in its purest form: R passes over the
+# input, each materializing only 1/R of the class table.
+#
+#   * one h2d of the byte stream (N bytes), R round dispatches;
+#   * a round = lax.fori_loop over chunks: dynamic_slice -> chunk scan ->
+#     keep rows whose mixed canon hash lands in this round -> sort-compact
+#     -> dynamic_update_slice append into the round buffer (garbage rows
+#     pre-masked to the invalid sentinel);
+#   * the round buffer feeds the same segmented class analysis, junction
+#     rows compact on device, and each ships as ONE int64
+#     (gpos << 32 | class_first << 1 | orientation)  — 8 B/junction d2h;
+#   * id assignment on host: dense ranks of distinct class-first values
+#     across rounds (identical to the monolithic kernel's numbering).
+# ---------------------------------------------------------------------------
+
+_MIX = jnp.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as two's compl.
+
+
+def _round_bucket(canon, n_rounds: int):
+    """Deterministic class->round assignment (any pure function of canon
+    keeps a class whole; a multiplicative mix balances the buckets)."""
+    h = (canon * _MIX) & jnp.int64(0x7FFFFFFFFFFFFFFF)
+    return h % jnp.int64(n_rounds)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _round_scan(codes_all, r, n_rounds: int, k: int, chunk: int,
+                n_chunks: int, cap: int):
+    """One complete round on device: scan + bucket-filter + analyze +
+    compact.  Returns (n_junctions, packed [cap//3] int64, overflow)."""
+    buf_canon = jnp.full(cap, _INVALID_CANON, jnp.int64)
+    buf_packed = jnp.zeros(cap, jnp.int32)
+    buf_gpos = jnp.zeros(cap, jnp.int32)
+    win = 1 + chunk + k + 1
+
+    def body(ci, carry):
+        bc, bp, bg, cursor, ovf = carry
+        start = 1 + ci * chunk  # global position of the chunk's first row
+        block = jax.lax.dynamic_slice(codes_all, (start - 1,), (win,))
+        canon, packed, positive = _chunk_scan(block, k)
+        local = jnp.arange(chunk, dtype=jnp.int32)
+        keep = (canon != _INVALID_CANON) & (
+            _round_bucket(canon, n_rounds) == r
+        )
+        pk = packed | (positive.astype(jnp.int32) << 11)
+        gpos = start.astype(jnp.int32) + local
+        key = jnp.where(keep, local, jnp.int32(chunk))
+        k2, c2, p2, g2 = jax.lax.sort(
+            (key, canon, pk, gpos), num_keys=1
+        )
+        cnt = jnp.sum(keep.astype(jnp.int64))
+        live = jnp.arange(chunk, dtype=jnp.int64) < cnt
+        c2 = jnp.where(live, c2, _INVALID_CANON)
+        p2 = jnp.where(live, p2, 0)
+        g2 = jnp.where(live, g2, 0)
+        at = jnp.minimum(cursor, jnp.int64(cap - chunk))
+        bc = jax.lax.dynamic_update_slice(bc, c2, (at,))
+        bp = jax.lax.dynamic_update_slice(bp, p2, (at,))
+        bg = jax.lax.dynamic_update_slice(bg, g2, (at,))
+        ovf = ovf | (cursor + cnt > cap - chunk)
+        return (bc, bp, bg, cursor + cnt, ovf)
+
+    buf_canon, buf_packed, buf_gpos, n_rows, overflow = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (buf_canon, buf_packed, buf_gpos, jnp.int64(0), jnp.bool_(False)),
+    )
+    # rows at/after the final cursor hold the last chunk's masked tail
+    # (INVALID canon), so the analysis sees exactly the round's records
+    isj, first = _round_analysis(
+        buf_canon, buf_packed & 0x7FF, buf_gpos.astype(jnp.int64)
+    )
+    out_cap = cap // 3
+    row = jnp.arange(cap, dtype=jnp.int32)
+    key3 = jnp.where(isj, row, jnp.int32(cap))
+    packed_out = (
+        (buf_gpos.astype(jnp.int64) << 32)
+        | (first.astype(jnp.int64) << 1)
+        | ((buf_packed >> 11) & 1).astype(jnp.int64)
+    )
+    _, po = jax.lax.sort((key3, packed_out), num_keys=1)
+    n_j = jnp.sum(isj.astype(jnp.int32))
+    overflow = overflow | (n_j > out_cap)
+    return n_j, po[:out_cap], overflow
+
+
+def build_junctions_streamed_resident(
+    seqs: Sequence[np.ndarray],
+    k: int,
+    chunk_size: int = 1 << 22,
+    n_rounds: int = 4,
+    round_slack: float = 1.5,
+) -> List[JunctionChr]:
+    """Bit-identical to construct.build_junctions; device memory is
+    O(chunk + N/n_rounds) and host<->device traffic is one N-byte upload
+    plus 8 bytes per junction (vs ~21 B/position round-tripped by the
+    host-bucketed path)."""
+    if not seqs:
+        return []
+    empty = [
+        JunctionChr(pos=np.zeros(0, np.uint32), ids=np.zeros(0, np.int64))
+        for _ in seqs
+    ]
+    lengths = [len(s) for s in seqs]
+    sep = np.full(1, ord("N"), dtype=np.uint8)
+    pieces = [sep]
+    for s in seqs:
+        pieces.append(s)
+        pieces.append(sep)
+    joined = np.concatenate(pieces)
+    if len(joined) < k + 2:
+        return empty
+    N = len(joined)
+    if N >= (1 << 31) - chunk_size:  # gpos must fit 31 bits for the pack
+        return build_junctions_streamed(seqs, k, chunk_size, n_rounds)
+    M = chunk_size
+    n_chunks = -(-(N - 2) // M)
+    padded = 1 + n_chunks * M + k + 1
+    codes_np = alphabet.encode(joined)
+    if padded > len(codes_np):
+        codes_np = np.concatenate(
+            [codes_np,
+             np.full(padded - len(codes_np), alphabet.BAD_CODE, np.uint8)]
+        )
+    codes_all = jnp.asarray(codes_np)
+
+    while True:
+        per_round = int((N * round_slack) / n_rounds) + M
+        # round up to a chunk multiple (a pow2 pad would nearly double the
+        # round buffer at chromosome scale)
+        cap = max(M, -(-per_round // M) * M)
+        parts = []
+        overflowed = False
+        for r in range(n_rounds):
+            n_j, po, ovf = _round_scan(
+                codes_all, jnp.int64(r), n_rounds, k, M, n_chunks, cap
+            )
+            if bool(ovf):
+                overflowed = True
+                break
+            n_j = int(n_j)
+            if n_j:
+                parts.append(np.asarray(po[:n_j]).astype(np.int64))
+        if not overflowed:
+            break
+        n_rounds *= 2  # skewed bucket or junction-dense input: re-round
+
+    if not parts:
+        return empty
+    packed = np.concatenate(parts)
+    gpos = packed >> 32
+    first = (packed >> 1) & 0x7FFFFFFF
+    positive = (packed & 1) > 0
+    order = np.argsort(gpos, kind="stable")
+    gpos, first, positive = gpos[order], first[order], positive[order]
+    uniq = np.unique(first)
+    ids = np.searchsorted(uniq, first) + 1
+    signed = np.where(positive, ids, -ids).astype(np.int64)
+
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    offsets[0] = 1
+    for i, L in enumerate(lengths):
+        offsets[i + 1] = offsets[i] + L + 1
+    out: List[JunctionChr] = []
+    for c in range(len(seqs)):
+        lo_, hi_ = offsets[c], offsets[c] + lengths[c]
+        a, b = np.searchsorted(gpos, (lo_, hi_))
+        out.append(
+            JunctionChr(
+                pos=(gpos[a:b] - lo_).astype(np.uint32), ids=signed[a:b]
+            )
+        )
+    return out
+
+
 def build_junctions_streamed(
     seqs: Sequence[np.ndarray],
     k: int,

@@ -53,3 +53,46 @@ def test_streamed_related():
         construct.build_junctions(seqs, 15),
         streamed.build_junctions_streamed(seqs, 15, chunk_size=1000, n_rounds=5),
     )
+
+
+def test_resident_rounds_bit_equal():
+    """Device-resident rounds (one codes upload, per-round rescan +
+    on-device bucket filter + 8 B/junction output) match the monolithic
+    kernel exactly, across k, N runs, rc chromosomes, and round counts."""
+    from sibeliaz_tpu.graph.streamed import build_junctions_streamed_resident
+
+    rng = np.random.default_rng(41)
+    base = alphabet.decode(rng.integers(0, 4, size=20000).astype(np.uint8))
+    mut = base.copy()
+    idx = np.flatnonzero(rng.random(len(mut)) < 0.01)
+    mut[idx] = alphabet.decode(
+        rng.integers(0, 4, size=len(idx)).astype(np.uint8)
+    )
+    for p in rng.integers(0, len(mut), size=4):
+        mut[p] = ord("N")
+    seqs = [base, mut, alphabet.reverse_complement(base)]
+    want = construct.build_junctions(seqs, 15)
+    for n_rounds in (1, 3):
+        got = build_junctions_streamed_resident(
+            seqs, 15, chunk_size=4096, n_rounds=n_rounds
+        )
+        for a, b in zip(want, got):
+            assert np.array_equal(a.pos, b.pos)
+            assert np.array_equal(a.ids, b.ids)
+
+
+def test_resident_rounds_overflow_retry():
+    """An undersized round budget (slack < 1) must overflow, double the
+    round count, and still produce exact output."""
+    from sibeliaz_tpu.graph.streamed import build_junctions_streamed_resident
+
+    rng = np.random.default_rng(43)
+    base = alphabet.decode(rng.integers(0, 4, size=6000).astype(np.uint8))
+    seqs = [base, base.copy()]
+    want = construct.build_junctions(seqs, 15)
+    got = build_junctions_streamed_resident(
+        seqs, 15, chunk_size=1024, n_rounds=2, round_slack=0.2
+    )
+    for a, b in zip(want, got):
+        assert np.array_equal(a.pos, b.pos)
+        assert np.array_equal(a.ids, b.ids)
