@@ -81,16 +81,27 @@ def build_junctions_multihost(
     global_arr = jax.make_array_from_callback(
         (len(codes),), sharding, lambda idx: codes[idx]
     )
-    step = jax.jit(
-        jax.shard_map(
-            sharded._make_step(k, n_dev),
-            mesh=mesh,
-            in_specs=P(sharded._AXIS),
-            out_specs=(P(sharded._AXIS), P(sharded._AXIS), P(sharded._AXIS)),
-        ),
-        out_shardings=NamedSharding(mesh, P()),  # replicate results
-    )
-    isj, positive, first = step(global_arr)
+    L_local = len(codes) // n_dev
+    cap = min(L_local, -(-int(L_local / n_dev * 1.3) // 8) * 8 + 8)
+    while True:
+        step = jax.jit(
+            jax.shard_map(
+                sharded._make_step(k, n_dev, cap),
+                mesh=mesh,
+                in_specs=P(sharded._AXIS),
+                out_specs=(
+                    P(sharded._AXIS), P(sharded._AXIS), P(sharded._AXIS),
+                    P(sharded._AXIS),
+                ),
+            ),
+            out_shardings=NamedSharding(mesh, P()),  # replicate results
+        )
+        isj, positive, first, ovf = step(global_arr)
+        if not np.asarray(ovf).any():
+            break
+        if cap >= L_local:
+            raise AssertionError("full-length exchange cannot overflow")
+        cap = min(L_local, cap * 2)
     mask = np.asarray(isj)
     positive = np.asarray(positive)
     first_idx = np.asarray(first)

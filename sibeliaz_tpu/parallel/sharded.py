@@ -15,9 +15,10 @@ device mesh ("seq") — the direct analog of context/sequence parallelism.
   3. outputs are full-length sharded masks identical to the single-chip
      kernel's, so the host-side record assembly is shared.
 
-Bucket padding note: round 1 pads each device's send matrix to the full
-local length (correct for any skew, n_dev× memory); a capacity-factor
-variant is the planned optimization.
+Bucket padding: the send matrix uses a capacity factor (~1.3x the
+balanced share per owner row, hash-balanced owners, invalid positions
+dropped) with per-shard overflow flags; the caller doubles the factor and
+retries on overflow, up to the skew-proof full-length layout.
 """
 
 from __future__ import annotations
@@ -105,24 +106,40 @@ def _local_analysis(codes_u8, k: int, n_dev: int):
     return canon, positive, right_ext, left_ext, at_boundary, global_pos
 
 
-def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos, n_dev: int):
+_MIX_SH = jnp.int64(-7046029254386353131)  # multiplicative owner hash
+
+
+def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos,
+                     n_dev: int, cap: int):
     """Stage 2: route occurrences to owner = hash(canon) mod n_dev via
     all_to_all, analyze, route verdicts back.  Returns per-position
-    (is_junction, first_idx) aligned with the shard's local order."""
+    (is_junction, first_idx, overflow) aligned with the shard's local
+    order.
+
+    The send matrix is [n_dev, cap] with cap ~= L/n_dev * slack (the
+    capacity-factor layout) instead of the safe-for-any-skew [n_dev, L]:
+    the owner hash balances buckets, invalid positions are dropped rather
+    than routed, and an overflowing row raises the per-shard overflow flag
+    so the caller can retry with a bigger factor."""
     L = canon.shape[0]
     valid = canon != _INVALID_CANON
-    owner = jnp.where(valid, (canon % n_dev).astype(jnp.int32), n_dev - 1)
+    mixed = (canon * _MIX_SH) & jnp.int64(0x7FFFFFFFFFFFFFFF)
+    owner = jnp.where(
+        valid, (mixed % n_dev).astype(jnp.int32), jnp.int32(n_dev)
+    )
 
-    # Build the send matrix [n_dev, L]: row d holds (compacted) the local
-    # occurrences owned by d, padded with sentinel.
+    # Build the send matrix: row d holds (compacted) the local occurrences
+    # owned by d, padded with sentinel; invalid rows (owner = n_dev) drop.
     order = jnp.argsort(owner * jnp.int64(2 * L) + jnp.arange(L), stable=True)
     owner_s = owner[order]
     # position of each element within its owner run
     run_idx = jnp.arange(L) - jnp.searchsorted(owner_s, owner_s, side="left")
+    sendable = owner_s < n_dev
+    overflow = jnp.any(sendable & (run_idx >= cap))
 
     def scatter_rows(x, fill):
-        m = jnp.full((n_dev, L), fill, dtype=x.dtype)
-        return m.at[owner_s, run_idx].set(x[order])
+        m = jnp.full((n_dev, cap), fill, dtype=x.dtype)
+        return m.at[owner_s, run_idx].set(x[order], mode="drop")
 
     send_canon = scatter_rows(canon, _INVALID_CANON)
     send_re = scatter_rows(right_ext.astype(jnp.int32), jnp.int32(_NO_EXT))
@@ -139,7 +156,7 @@ def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos, n_dev: in
     rc_bd = a2a(send_bd).reshape(-1)
     rc_gp = a2a(send_gp).reshape(-1)
 
-    n = rc_canon.shape[0]  # n_dev * L
+    n = rc_canon.shape[0]  # n_dev * cap
     perm = jnp.argsort(rc_canon, stable=True)
     canon_s = rc_canon[perm]
     seg_start = jnp.concatenate(
@@ -173,37 +190,46 @@ def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos, n_dev: in
     occ_junction = junction_class[class_of] & (rc_canon != _INVALID_CANON)
     occ_first = first_of_class[class_of]
 
-    # route verdicts back (inverse all_to_all restores [n_dev, L] layout)
-    back_j = a2a(occ_junction.reshape(n_dev, L).astype(jnp.int32)).reshape(
-        n_dev, L
+    # route verdicts back (inverse all_to_all restores [n_dev, cap] layout)
+    back_j = a2a(occ_junction.reshape(n_dev, cap).astype(jnp.int32)).reshape(
+        n_dev, cap
     )
-    back_f = a2a(occ_first.reshape(n_dev, L)).reshape(n_dev, L)
-    # un-scatter: element at (owner_s[t], run_idx[t]) came from order[t]
-    res_j = jnp.zeros(L, jnp.int32).at[order].set(back_j[owner_s, run_idx])
-    res_f = jnp.zeros(L, jnp.int64).at[order].set(back_f[owner_s, run_idx])
-    return res_j > 0, res_f
+    back_f = a2a(occ_first.reshape(n_dev, cap)).reshape(n_dev, cap)
+    # un-scatter: element at (owner_s[t], run_idx[t]) came from order[t];
+    # dropped rows (invalid or overflowed) read nothing
+    ok = sendable & (run_idx < cap)
+    so = jnp.clip(owner_s, 0, n_dev - 1)
+    sr = jnp.clip(run_idx, 0, cap - 1)
+    got_j = jnp.where(ok, back_j[so, sr], 0)
+    got_f = jnp.where(ok, back_f[so, sr], 0)
+    res_j = jnp.zeros(L, jnp.int32).at[order].set(got_j)
+    res_f = jnp.zeros(L, jnp.int64).at[order].set(got_f)
+    return res_j > 0, res_f, overflow
 
 
-def _make_step(k: int, n_dev: int):
+def _make_step(k: int, n_dev: int, cap: int):
     def step(codes_local):
         canon, positive, re_, le_, bd, gp = _local_analysis(
             codes_local, k, n_dev
         )
-        isj, first = _bucket_exchange(canon, re_, le_, bd, gp, n_dev)
-        return isj, positive, first
+        isj, first, ovf = _bucket_exchange(
+            canon, re_, le_, bd, gp, n_dev, cap
+        )
+        return isj, positive, first, ovf.reshape(1)
 
     return step
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled(k: int, n_dev: int, length: int, mesh_devices: tuple):
+def _compiled(k: int, n_dev: int, length: int, mesh_devices: tuple,
+              cap: int):
     mesh = Mesh(np.array(mesh_devices), (_AXIS,))
     step = jax.jit(
         jax.shard_map(
-            _make_step(k, n_dev),
+            _make_step(k, n_dev, cap),
             mesh=mesh,
             in_specs=P(_AXIS),
-            out_specs=(P(_AXIS), P(_AXIS), P(_AXIS)),
+            out_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P(_AXIS)),
         )
     )
     return mesh, step
@@ -241,11 +267,22 @@ def build_junctions_sharded(
     )
     codes = alphabet.encode(joined)
 
-    mesh, step = _compiled(k, n_dev, len(joined), tuple(devices))
-    arr = jax.device_put(
-        jnp.asarray(codes), NamedSharding(mesh, P(_AXIS))
-    )
-    isj, positive, first = step(arr)
+    # capacity-factor exchange: start at ~1.3x the balanced share and retry
+    # with a doubled factor on the (hash-unlikely) overflow, up to the
+    # skew-proof full-length layout
+    L_local = len(joined) // n_dev
+    cap = min(L_local, -(-int(L_local / n_dev * 1.3) // 8) * 8 + 8)
+    while True:
+        mesh, step = _compiled(k, n_dev, len(joined), tuple(devices), cap)
+        arr = jax.device_put(
+            jnp.asarray(codes), NamedSharding(mesh, P(_AXIS))
+        )
+        isj, positive, first, ovf = step(arr)
+        if not np.asarray(ovf).any():
+            break
+        if cap >= L_local:
+            raise AssertionError("full-length exchange cannot overflow")
+        cap = min(L_local, cap * 2)
     mask = np.asarray(isj)
     positive = np.asarray(positive)
     first_idx = np.asarray(first)
