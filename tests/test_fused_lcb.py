@@ -79,3 +79,21 @@ def test_fused_full_gff_byte_equal():
         return gff_mod.render_gff(blocks, names, chr_lengths)
 
     assert run(True) == run(False)
+
+
+def test_fused_chunking_independent(monkeypatch):
+    """Dispatch chunking (VOTE_BUDGET) must not affect results — the
+    per-lane protocol is independent, mirroring the reference's
+    thread-count-independence guarantee (NEWS.md:46)."""
+    from sibeliaz_tpu.lcb import fused as fused_mod
+
+    _, _, _, table, eng = build(523, length=1000, mut=0.03)
+    bundles = eng.make_bundles()[:24]
+    want = process_phase_fused(eng, bundles)
+    monkeypatch.setattr(fused_mod, "VOTE_BUDGET", 1 << 14)  # tiny chunks
+    got = fused_mod.process_phase_fused(eng, bundles)
+
+    def key(insts):
+        return [(i.c, i.s, i.fi, i.bi) for i in insts]
+
+    assert [key(x) for x in got] == [key(x) for x in want]
