@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import tempfile
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -31,11 +29,6 @@ from sibeliaz_tpu.core import alphabet
 from sibeliaz_tpu.lcb.blocks import Block
 
 _SRC = os.path.join(os.path.dirname(__file__), "native", "poa.cpp")
-_LIB_DIR = os.path.join(
-    os.environ.get("XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")),
-    "sibeliaz_tpu",
-)
-_LIB = os.path.join(_LIB_DIR, "libszpoa.so")
 _lib = None
 
 
@@ -43,17 +36,9 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    os.makedirs(_LIB_DIR, exist_ok=True)
-    if not (os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
-        with tempfile.NamedTemporaryFile(suffix=".so", dir=_LIB_DIR, delete=False) as tmp:
-            tmp_path = tmp.name
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
-             "-march=native", _SRC, "-o", tmp_path],
-            check=True, capture_output=True,
-        )
-        os.replace(tmp_path, _LIB)
-    lib = ctypes.CDLL(_LIB)
+    from sibeliaz_tpu.utils.nativebuild import build_native
+
+    lib = ctypes.CDLL(build_native(_SRC, "libszpoa.so"))
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.sz_poa_run.restype = ctypes.c_void_p
@@ -85,7 +70,7 @@ def poa_msa_batch(
         seq_off[i + 1] = seq_off[i] + len(s)
     data = (
         np.concatenate(flat) if flat else np.zeros(0, np.uint8)
-    ).astype(np.uint8)
+    ).astype(np.uint8, copy=False)
     widths = np.zeros(len(blocks_seqs), dtype=np.int64)
     h = lib.sz_poa_run(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -115,7 +100,6 @@ def poa_msa_batch(
 
 def block_copies(
     blocks: Sequence[Block],
-    seqs: Sequence[np.ndarray],
 ) -> List[Tuple[int, List[Block]]]:
     """Group trimmed blocks (already (id,chr,start)-sorted) by id."""
     groups: Dict[int, List[Block]] = {}
@@ -164,7 +148,7 @@ def align_blocks_to_maf(
     engine="native" runs the OpenMP C++ POA; engine="tpu" runs the batched
     device DP (align/tpu_poa.py) with native fallback for blocks that
     exceed its padded budgets — both produce identical MSAs (tested)."""
-    groups = block_copies(blocks, seqs)
+    groups = block_copies(blocks)
     blocks_seqs = [
         [copy_sequence(b, seqs) for b in grp] for _, grp in groups
     ]

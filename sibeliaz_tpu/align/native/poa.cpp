@@ -121,6 +121,13 @@ struct Graph {
     }
     // ---- topo node order ----
     std::vector<int> gorder = topo_groups();
+    if (gorder.size() != groups.size()) {
+      // cycle: the spec raises here (poa_ref.topo_groups); a silent
+      // partial order would corrupt the DP, so surface as overflow (the
+      // block lands in blocks/ instead of producing a wrong MSA)
+      overflow = true;
+      return;
+    }
     std::vector<int> topo;
     topo.reserve(ch.size());
     for (int g : gorder)
@@ -137,10 +144,9 @@ struct Graph {
     bool full_dir = (n + 1) * i64(N) <= budget;
     i64 C = 0;
     if (!full_dir) {
+      // C = 2*sqrt(n+1) minimizes N*C + 4*N*(n+1)/C, so a single
+      // feasibility check suffices (growing C only costs more)
       C = std::max<i64>(64, i64(2 * std::sqrt(double(n + 1))));
-      while (C <= n + 1 &&
-             i64(N) * C + 4 * i64(N) * ((n + 1) / C + 2) > budget)
-        C *= 2;
       if (i64(N) * C + 4 * i64(N) * ((n + 1) / C + 2) > budget) {
         overflow = true;  // graph alone exceeds the budget
         return;

@@ -10,47 +10,24 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import tempfile
 from typing import List
 
 import numpy as np
 
 from sibeliaz_tpu.junctions.table import JunctionTable
 from sibeliaz_tpu.lcb.blocks import Block
+from sibeliaz_tpu.utils.nativebuild import build_native
 
 _SRC = os.path.join(os.path.dirname(__file__), "native", "engine.cpp")
-_LIB_DIR = os.path.join(
-    os.environ.get("XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")),
-    "sibeliaz_tpu",
-)
-_LIB = os.path.join(_LIB_DIR, "libszlcb.so")
 
 _lib = None
-
-
-def _build() -> str:
-    os.makedirs(_LIB_DIR, exist_ok=True)
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
-    with tempfile.NamedTemporaryFile(
-        suffix=".so", dir=_LIB_DIR, delete=False
-    ) as tmp:
-        tmp_path = tmp.name
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
-        "-march=native", _SRC, "-o", tmp_path,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp_path, _LIB)
-    return _LIB
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    lib = ctypes.CDLL(_build())
+    lib = ctypes.CDLL(build_native(_SRC, "libszlcb.so"))
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.sz_lcb_run.restype = ctypes.c_void_p
     lib.sz_lcb_run.argtypes = [
@@ -95,22 +72,22 @@ def run_native(
         chr_off[c + 1] = chr_off[c] + len(table.jpos[c])
     jpos = (
         np.concatenate(table.jpos) if n_chr else np.zeros(0, np.int64)
-    ).astype(np.int64)
+    ).astype(np.int64, copy=False)
     jid = (
         np.concatenate(table.jid) if n_chr else np.zeros(0, np.int64)
-    ).astype(np.int64)
+    ).astype(np.int64, copy=False)
     used = (
         np.concatenate(table.used) if n_chr else np.zeros(0, np.uint8)
-    ).astype(np.uint8)
+    ).astype(np.uint8, copy=False)
     seq_off = np.zeros(n_chr + 1, dtype=np.int64)
     for c in range(n_chr):
         seq_off[c + 1] = seq_off[c] + len(table.seqs[c])
     seq = (
         np.concatenate(table.seqs) if n_chr else np.zeros(0, np.uint8)
-    ).astype(np.uint8)
-    occ_off = table.occ_off.astype(np.int64)
-    occ_chr = table.occ_chr.astype(np.int32)
-    occ_idx = table.occ_idx.astype(np.int64)
+    ).astype(np.uint8, copy=False)
+    occ_off = table.occ_off.astype(np.int64, copy=False)
+    occ_chr = table.occ_chr.astype(np.int32, copy=False)
+    occ_idx = table.occ_idx.astype(np.int64, copy=False)
 
     n_blocks = ctypes.c_int64(0)
     found = ctypes.c_int64(0)

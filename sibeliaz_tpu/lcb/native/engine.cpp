@@ -36,7 +36,7 @@ using i64 = int64_t;
 using u8 = uint8_t;
 
 static const i64 NEG_INF_SCORE = -((i64(1) << 31) - 1);  // -INT32_MAX
-static const int DIST_UNSET = INT32_MAX;
+static const i64 DIST_UNSET = INT64_MAX;
 
 static u8 COMP[256];
 static bool comp_init = [] {
@@ -190,7 +190,7 @@ struct Path {
   std::vector<std::vector<Inst*>> isets;  // per chr, sorted by cmp
   std::vector<Inst*> all, good;
   std::vector<Inst> arena;
-  std::vector<int> dist;        // dense, index vid + V
+  std::vector<i64> dist;        // dense, index vid + V
   std::vector<i64> dist_touch;  // vertices with dist set
   std::vector<std::pair<Edge, i64>> left_body, right_body;
   i64 left_flank = 0, right_flank = 0;
@@ -204,8 +204,8 @@ struct Path {
   }
 
   inline bool dist_set(i64 v) const { return dist[v + e.g.V] != DIST_UNSET; }
-  inline int dist_get(i64 v) const { return dist[v + e.g.V]; }
-  inline void dist_put(i64 v, int d) {
+  inline i64 dist_get(i64 v) const { return dist[v + e.g.V]; }
+  inline void dist_put(i64 v, i64 d) {
     dist[v + e.g.V] = d;
     dist_touch.push_back(v);
   }
@@ -330,7 +330,7 @@ struct Path {
     i64 vertex = ed.v;
     if (dist_set(vertex)) return false;
     i64 start_d = right_flank, end_d = start_d + ed.len;
-    dist_put(vertex, int(end_d));
+    dist_put(vertex, end_d);
     i64 av = vertex < 0 ? -vertex : vertex;
     for (i64 j = e.g.occ_off[av]; j < e.g.occ_off[av + 1]; j++) {
       It seq_it = e.occ_it(vertex, j);
@@ -375,7 +375,7 @@ struct Path {
     i64 vertex = ed.u;
     if (dist_set(vertex)) return false;
     i64 end_d = left_flank, start_d = end_d - ed.len;
-    dist_put(vertex, int(start_d));
+    dist_put(vertex, start_d);
     i64 av = vertex < 0 ? -vertex : vertex;
     for (i64 j = e.g.occ_off[av]; j < e.g.occ_off[av + 1]; j++) {
       It seq_it = e.occ_it(vertex, j);
@@ -434,7 +434,7 @@ struct Path {
 
 struct Scratch {
   Path path;
-  std::vector<uint32_t> count;  // dense votes, index vid + V
+  std::vector<uint64_t> count;  // dense votes, index vid + V
   std::vector<i64> touched;     // vote entries to reset
   explicit Scratch(const Engine& e)
       : path(e), count(2 * e.g.V + 1, 0) {}
@@ -466,7 +466,7 @@ static NextPick most_popular(const Engine& e, Path& path, bool forward,
       if (!path.dist_set(v) && (!e.is_used(it) || try_used)) {
         i64 adj = v + e.g.V;
         if (sc.count[adj] == 0) sc.touched.push_back(adj);
-        sc.count[adj] += uint32_t(weight);
+        sc.count[adj] += uint64_t(weight);
         if (sc.count[adj] > ret.cnt ||
             (sc.count[adj] == ret.cnt && ret.has_origin &&
              e.it_lt(origin, ret.origin))) {
