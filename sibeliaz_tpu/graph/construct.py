@@ -179,244 +179,6 @@ def junction_analysis_packed(codes_u8: jnp.ndarray, k: int):
     return flags, first.astype(jnp.int32)
 
 
-def junction_records_compact(codes_u8: jnp.ndarray, k: int, capacity: int):
-    """Full device-side record assembly: returns (count, pos[capacity],
-    signed_id[capacity]) — only ~8 bytes per junction leave the device.
-
-    Id assignment needs no extra sort: a position p is its class's *first*
-    occurrence iff first_idx[p] == p, so the dense 1..J numbering in
-    first-occurrence order is a cumulative count of class-firsts gathered
-    at each occurrence's first_idx."""
-    isj, positive, first = junction_analysis(codes_u8, k)
-    n = codes_u8.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int64)
-    is_class_first = isj & (first == idx)
-    firstcum = jnp.cumsum(is_class_first.astype(jnp.int64))  # inclusive
-    ids = firstcum[first]  # 1-based class id by first-occurrence order
-    signed = jnp.where(positive, ids, -ids).astype(jnp.int32)
-
-    ranks = jnp.cumsum(isj.astype(jnp.int64)) - 1
-    count = (ranks[-1] + 1).astype(jnp.int32)
-    slot = jnp.where(isj, ranks, capacity)  # out-of-range rows are dropped
-    out_pos = jnp.zeros(capacity, jnp.int32).at[slot].set(
-        idx.astype(jnp.int32), mode="drop"
-    )
-    out_id = jnp.zeros(capacity, jnp.int32).at[slot].set(signed, mode="drop")
-    return count, out_pos, out_id
-
-
-def junction_records_compact_v2(codes_u8: jnp.ndarray, k: int, capacity: int):
-    """Scatter-free variant of junction_records_compact.
-
-    TPU scatters serialize; this formulation replaces every segment-op and
-    scatter with sorts (which the TPU sorts well) and *segmented
-    associative scans* (log-depth, fully vectorized):
-
-      * per-class aggregates (extension-char presence bits, boundary flag)
-        ride ONE packed int32 through a forward segmented-OR scan; the
-        segment-end total is broadcast back with a reverse copy-scan,
-      * the first-occurrence index is carried by the same forward scan
-        (stable sort puts it first in its segment),
-      * the inverse permutation is argsort(perm) — a sort, not a scatter,
-      * compaction is a key sort (junctions first, genome order) + slice.
-    """
-    n = codes_u8.shape[0]
-    definite = codes_u8 != alphabet.BAD_CODE
-    codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
-
-    defc = jnp.cumsum(definite.astype(jnp.int64))
-    defc = jnp.concatenate([jnp.zeros(1, jnp.int64), defc])
-    valid = (defc[k:] - defc[:-k]) == k
-    valid = jnp.concatenate([valid, jnp.zeros(k - 1, dtype=bool)])
-
-    fwd, rc = _doubling_codes(codes, k)
-    positive = fwd < rc
-    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
-
-    idx = jnp.arange(n)
-    nxt_ok = jnp.roll(definite, -k) & (idx + k < n)
-    prv_ok = jnp.roll(definite, 1) & (idx >= 1)
-    nxt = jnp.where(nxt_ok, jnp.roll(codes, -k), _NO_EXT)
-    prv = jnp.where(prv_ok, jnp.roll(codes, 1), _NO_EXT)
-    comp_nxt = jnp.where(nxt_ok, 3 - jnp.roll(codes, -k), _NO_EXT)
-    comp_prv = jnp.where(prv_ok, 3 - jnp.roll(codes, 1), _NO_EXT)
-    right_ext = jnp.where(positive, nxt, comp_prv)
-    left_ext = jnp.where(positive, prv, comp_nxt)
-    prev_valid = jnp.concatenate([jnp.zeros(1, dtype=bool), valid[:-1]])
-    next_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=bool)])
-    at_boundary = valid & (~prev_valid | ~next_valid)
-
-    # packed per-occurrence class evidence: bits 0-4 right ext presence
-    # (bit 4 = "no ext", ignored in counts), bits 5-9 left, bit 10 boundary
-    packed = (
-        (jnp.int32(1) << right_ext.astype(jnp.int32))
-        | (jnp.int32(1) << (left_ext.astype(jnp.int32) + 5))
-        | (at_boundary.astype(jnp.int32) << 10)
-    )
-
-    perm = jnp.argsort(canon, stable=True)
-    canon_s = canon[perm]
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
-    )
-    packed_s = packed[perm]
-
-    def fwd_comb(a, b):
-        fa, oa, ia = a
-        fb, ob, ib = b
-        return (
-            fa | fb,
-            jnp.where(fb, ob, oa | ob),
-            jnp.where(fb, ib, ia),
-        )
-
-    _, or_acc, first_s = jax.lax.associative_scan(
-        fwd_comb, (seg_start, packed_s, perm)
-    )
-
-    # broadcast each segment's final OR back to all members (reverse scan)
-    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
-
-    def rev_comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return (fa | fb, jnp.where(fb, vb, va))
-
-    _, total_rev = jax.lax.associative_scan(
-        rev_comb, (seg_end[::-1], or_acc[::-1])
-    )
-    total = total_rev[::-1]
-
-    def popcount4(x, base):
-        c = jnp.zeros_like(x)
-        for b in range(4):
-            c += (x >> (base + b)) & 1
-        return c
-
-    distinct_right = popcount4(total, 0)
-    distinct_left = popcount4(total, 5)
-    boundary_any = (total >> 10) & 1
-    junction_s = (distinct_right > 1) | (distinct_left > 1) | (boundary_any > 0)
-    junction_s = junction_s & (canon_s != _INVALID_CANON)
-
-    inv = jnp.argsort(perm)  # inverse permutation via sort, not scatter
-    junction_o = junction_s[inv]
-    first_o = first_s[inv]
-
-    is_class_first = junction_o & (first_o == idx)
-    firstcum = jnp.cumsum(is_class_first.astype(jnp.int64))
-    ids = firstcum[first_o]
-    signed = jnp.where(positive, ids, -ids).astype(jnp.int32)
-
-    count = jnp.sum(junction_o.astype(jnp.int64)).astype(jnp.int32)
-    key = jnp.where(junction_o, idx, idx + n)
-    _, out_pos, out_id = jax.lax.sort(
-        (key, idx.astype(jnp.int32), signed), num_keys=1
-    )
-    return count, out_pos[:capacity], out_id[:capacity]
-
-
-def junction_records_compact_v3(codes_u8: jnp.ndarray, k: int, capacity: int):
-    """Scatter-free kernel, cumulative-op formulation (the TPU default).
-
-    Profiling showed the v1 kernel is scatter-bound (the un-permute and
-    compaction scatters cost ~4 s each at 33 M positions; each segmented
-    max another ~0.5 s) while sorts are ~0.2 s.  v3 keeps the sort-centric
-    shape but expresses every per-class aggregate as a *range query over
-    cumulative sums*, with class bounds propagated by running maxima —
-    cumsum/cummax are single log-depth XLA ops, unlike v2's unrolled
-    associative scans which exploded compile time:
-
-      * class segment bounds (in canon-sorted order) via cummax of the
-        boundary ranks, forward and flipped,
-      * "does this class contain extension char c / a boundary occurrence"
-        = range-sum of the bit > 0 (9 cumsums),
-      * first-occurrence index = value at the class start (stable sort ⇒
-        ascending genome order inside each class) — a gather, not a
-        segmented min,
-      * un-permute via inverse permutation (argsort of the permutation),
-      * compaction via one key sort (junctions first, genome order).
-    """
-    n = codes_u8.shape[0]
-    definite = codes_u8 != alphabet.BAD_CODE
-    codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
-
-    defc = jnp.cumsum(definite.astype(jnp.int64))
-    defc = jnp.concatenate([jnp.zeros(1, jnp.int64), defc])
-    valid = (defc[k:] - defc[:-k]) == k
-    valid = jnp.concatenate([valid, jnp.zeros(k - 1, dtype=bool)])
-
-    fwd, rc = _doubling_codes(codes, k)
-    positive = fwd < rc
-    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
-
-    idx = jnp.arange(n)
-    nxt_ok = jnp.roll(definite, -k) & (idx + k < n)
-    prv_ok = jnp.roll(definite, 1) & (idx >= 1)
-    nxt = jnp.where(nxt_ok, jnp.roll(codes, -k), _NO_EXT)
-    prv = jnp.where(prv_ok, jnp.roll(codes, 1), _NO_EXT)
-    comp_nxt = jnp.where(nxt_ok, 3 - jnp.roll(codes, -k), _NO_EXT)
-    comp_prv = jnp.where(prv_ok, 3 - jnp.roll(codes, 1), _NO_EXT)
-    right_ext = jnp.where(positive, nxt, comp_prv).astype(jnp.int32)
-    left_ext = jnp.where(positive, prv, comp_nxt).astype(jnp.int32)
-    prev_valid = jnp.concatenate([jnp.zeros(1, dtype=bool), valid[:-1]])
-    next_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=bool)])
-    at_boundary = valid & (~prev_valid | ~next_valid)
-
-    perm = jnp.argsort(canon, stable=True)
-    canon_s = canon[perm]
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
-    )
-    rank = jnp.arange(n)
-    # class bounds per sorted position (inclusive), via running maxima
-    start_rank = jax.lax.cummax(jnp.where(seg_start, rank, -1))
-    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
-    end_rank = (
-        n
-        - 1
-        - jax.lax.cummax(jnp.where(seg_end[::-1], rank, -1))[::-1]
-    )
-
-    right_s = right_ext[perm]
-    left_s = left_ext[perm]
-    bnd_s = at_boundary[perm]
-
-    def range_any(bit):
-        pre = jnp.cumsum(bit.astype(jnp.int64))
-        hi = pre[end_rank]
-        lo = jnp.where(start_rank > 0, pre[jnp.maximum(start_rank - 1, 0)], 0)
-        return (hi - lo) > 0
-
-    distinct_r = jnp.zeros(n, jnp.int32)
-    distinct_l = jnp.zeros(n, jnp.int32)
-    for c in range(4):
-        distinct_r += range_any(right_s == c).astype(jnp.int32)
-        distinct_l += range_any(left_s == c).astype(jnp.int32)
-    boundary_any = range_any(bnd_s)
-    junction_s = (
-        (distinct_r > 1) | (distinct_l > 1) | boundary_any
-    ) & (canon_s != _INVALID_CANON)
-    # stable sort ⇒ the class's first element has the smallest genome index
-    first_s = perm[start_rank]
-
-    inv = jnp.argsort(perm)  # inverse permutation (a sort, not a scatter)
-    junction_o = junction_s[inv]
-    first_o = first_s[inv]
-
-    is_class_first = junction_o & (first_o == idx)
-    firstcum = jnp.cumsum(is_class_first.astype(jnp.int64))
-    ids = firstcum[first_o]
-    signed = jnp.where(positive, ids, -ids).astype(jnp.int32)
-
-    count = jnp.sum(junction_o.astype(jnp.int64)).astype(jnp.int32)
-    key = jnp.where(junction_o, idx, idx + n)
-    _, out_pos, out_id = jax.lax.sort(
-        (key, idx.astype(jnp.int32), signed), num_keys=1
-    )
-    return count, out_pos[:capacity], out_id[:capacity]
-
-
 def _windowed_all(flags: jnp.ndarray, k: int) -> jnp.ndarray:
     """valid[p] = AND of flags[p..p+k) via log-doubling shifts (replaces an
     expensive full-length cumsum; boolean traffic only)."""
@@ -438,168 +200,6 @@ def _windowed_all(flags: jnp.ndarray, k: int) -> jnp.ndarray:
     # windows that wrap past the end are invalid
     idx = jnp.arange(n)
     return out & (idx + k <= n)
-
-
-def junction_records_compact_v4(codes_u8: jnp.ndarray, k: int, capacity: int):
-    """v1 with its two full-length cumsums removed (profiling: each cost
-    ~4 s at 33 M positions on v5e — more than every sort and scatter in the
-    kernel combined):
-
-      * k-window validity via log-doubling boolean ANDs,
-      * class ids NOT assigned on device: the compaction carries the class
-        first-occurrence index instead, and the host ranks the (few)
-        junction records (np.unique over ~n/20 entries).
-
-    Returns (count, pos[capacity], first_idx[capacity], flags[capacity])
-    where flags bit0 = positive orientation.
-    """
-    n = codes_u8.shape[0]
-    definite = codes_u8 != alphabet.BAD_CODE
-    codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
-    valid = _windowed_all(definite, k)
-
-    fwd, rc = _doubling_codes(codes, k)
-    positive = fwd < rc
-    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
-
-    idx = jnp.arange(n)
-    nxt_ok = jnp.roll(definite, -k) & (idx + k < n)
-    prv_ok = jnp.roll(definite, 1) & (idx >= 1)
-    nxt = jnp.where(nxt_ok, jnp.roll(codes, -k), _NO_EXT)
-    prv = jnp.where(prv_ok, jnp.roll(codes, 1), _NO_EXT)
-    comp_nxt = jnp.where(nxt_ok, 3 - jnp.roll(codes, -k), _NO_EXT)
-    comp_prv = jnp.where(prv_ok, 3 - jnp.roll(codes, 1), _NO_EXT)
-    right_ext = jnp.where(positive, nxt, comp_prv)
-    left_ext = jnp.where(positive, prv, comp_nxt)
-    prev_valid = jnp.concatenate([jnp.zeros(1, dtype=bool), valid[:-1]])
-    next_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=bool)])
-    at_boundary = valid & (~prev_valid | ~next_valid)
-
-    perm = jnp.argsort(canon, stable=True)
-    canon_s = canon[perm]
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
-    )
-    seg_id = jnp.cumsum(seg_start.astype(jnp.int32))  # int32: classes < 2^31
-
-    def seg_max(x_sorted):
-        return jax.ops.segment_max(
-            x_sorted, seg_id, num_segments=n, indices_are_sorted=True
-        )
-
-    right_s = right_ext[perm]
-    left_s = left_ext[perm]
-    distinct_right = jnp.zeros(n, jnp.int32)
-    distinct_left = jnp.zeros(n, jnp.int32)
-    for c in range(4):
-        distinct_right += seg_max((right_s == c).astype(jnp.int32))
-        distinct_left += seg_max((left_s == c).astype(jnp.int32))
-    boundary_any = seg_max(at_boundary[perm].astype(jnp.int32)) > 0
-    junction_class = (distinct_right > 1) | (distinct_left > 1) | boundary_any
-    first_of_class = jax.ops.segment_min(
-        perm.astype(jnp.int32), seg_id, num_segments=n, indices_are_sorted=True
-    )
-
-    class_of_pos = jnp.zeros(n, jnp.int32).at[perm].set(seg_id)
-    junction_o = valid & junction_class[class_of_pos]
-    first_o = first_of_class[class_of_pos]
-
-    ranks = jnp.cumsum(junction_o.astype(jnp.int32)) - 1
-    count = (ranks[-1] + 1).astype(jnp.int32)
-    slot = jnp.where(junction_o, ranks, capacity)
-    out_pos = jnp.zeros(capacity, jnp.int32).at[slot].set(
-        idx.astype(jnp.int32), mode="drop"
-    )
-    out_first = jnp.zeros(capacity, jnp.int32).at[slot].set(
-        first_o, mode="drop"
-    )
-    out_flags = jnp.zeros(capacity, jnp.uint8).at[slot].set(
-        positive.astype(jnp.uint8), mode="drop"
-    )
-    return count, out_pos, out_first, out_flags
-
-
-def junction_records_compact_v5(codes_u8: jnp.ndarray, k: int, capacity: int):
-    """Gather/scatter-minimal kernel: payloads ride the sorts.
-
-    Instead of argsort + post-hoc random gathers (and a scatter to map
-    verdicts back), every per-occurrence attribute is packed into one int32
-    and carried as a *sort payload*; the final compaction is a second
-    variadic sort keyed junctions-first-by-genome-position, which also
-    removes the need for an inverse permutation entirely.  The k-window
-    validity mask uses log-doubling ANDs rather than a full cumsum.
-
-    Returns (count, pos[capacity], first_idx[capacity], flags[capacity]);
-    flags bit0 = canonical orientation.  Class ids are assigned by the host
-    from first_idx ranks (the compacted records are ~5% of positions).
-    """
-    n = codes_u8.shape[0]
-    definite = codes_u8 != alphabet.BAD_CODE
-    codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
-    valid = _windowed_all(definite, k)
-
-    fwd, rc = _doubling_codes(codes, k)
-    positive = fwd < rc
-    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
-
-    idx = jnp.arange(n, dtype=jnp.int32)
-    nxt_ok = jnp.roll(definite, -k) & (idx + k < n)
-    prv_ok = jnp.roll(definite, 1) & (idx >= 1)
-    nxt_c = jnp.roll(codes, -k).astype(jnp.int32)
-    prv_c = jnp.roll(codes, 1).astype(jnp.int32)
-    nxt = jnp.where(nxt_ok, nxt_c, _NO_EXT)
-    prv = jnp.where(prv_ok, prv_c, _NO_EXT)
-    comp_nxt = jnp.where(nxt_ok, 3 - nxt_c, _NO_EXT)
-    comp_prv = jnp.where(prv_ok, 3 - prv_c, _NO_EXT)
-    right_ext = jnp.where(positive, nxt, comp_prv)
-    left_ext = jnp.where(positive, prv, comp_nxt)
-    prev_valid = jnp.concatenate([jnp.zeros(1, dtype=bool), valid[:-1]])
-    next_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=bool)])
-    at_boundary = valid & (~prev_valid | ~next_valid)
-
-    packed = (
-        (jnp.int32(1) << right_ext)
-        | (jnp.int32(1) << (left_ext + 5))
-        | (at_boundary.astype(jnp.int32) << 10)
-        | (positive.astype(jnp.int32) << 11)
-    )
-
-    canon_s, packed_s, idx_s = jax.lax.sort(
-        (canon, packed, idx), num_keys=1, is_stable=True
-    )
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
-    )
-    seg_id = jnp.cumsum(seg_start.astype(jnp.int32))
-
-    def seg_max(x_sorted):
-        return jax.ops.segment_max(
-            x_sorted, seg_id, num_segments=n, indices_are_sorted=True
-        )
-
-    distinct_r = jnp.zeros(n, jnp.int32)
-    distinct_l = jnp.zeros(n, jnp.int32)
-    for c in range(4):
-        distinct_r += seg_max((packed_s >> c) & 1)
-        distinct_l += seg_max((packed_s >> (c + 5)) & 1)
-    boundary_any = seg_max((packed_s >> 10) & 1) > 0
-    junction_class = (distinct_r > 1) | (distinct_l > 1) | boundary_any
-    first_of_class = jax.ops.segment_min(
-        idx_s, seg_id, num_segments=n, indices_are_sorted=True
-    )
-    # per-record verdicts, still in canon-sorted order (no un-permute):
-    junction_s = junction_class[seg_id] & (canon_s != _INVALID_CANON)
-    first_s = first_of_class[seg_id]
-
-    count = jnp.sum(junction_s.astype(jnp.int64)).astype(jnp.int32)
-    key2 = jnp.where(
-        junction_s, idx_s.astype(jnp.int64), idx_s.astype(jnp.int64) + n
-    )
-    _, out_pos, out_first, out_flags = jax.lax.sort(
-        (key2, idx_s, first_s, (packed_s >> 11).astype(jnp.uint8)),
-        num_keys=1,
-    )
-    return count, out_pos[:capacity], out_first[:capacity], out_flags[:capacity]
 
 
 def junction_records_compact_v7(codes_u8: jnp.ndarray, k: int, capacity: int):
@@ -812,10 +412,6 @@ def _v7_core(codes_u8: jnp.ndarray, k: int):
 
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
 _junction_kernel_packed = jax.jit(junction_analysis_packed, static_argnums=(1,))
-_junction_kernel_compact = jax.jit(junction_records_compact, static_argnums=(1, 2))
-_junction_kernel_compact_v5 = jax.jit(
-    junction_records_compact_v5, static_argnums=(1, 2)
-)
 _junction_kernel_compact_v7 = jax.jit(
     junction_records_compact_v7, static_argnums=(1, 2)
 )
@@ -824,12 +420,6 @@ _junction_kernel_compact_v8 = jax.jit(
 )
 _junction_kernel_compact_v9 = jax.jit(
     junction_records_compact_v9, static_argnums=(1, 2)
-)
-_junction_kernel_compact_v2 = jax.jit(
-    junction_records_compact_v2, static_argnums=(1, 2)
-)
-_junction_kernel_compact_v3 = jax.jit(
-    junction_records_compact_v3, static_argnums=(1, 2)
 )
 
 
@@ -903,10 +493,9 @@ def build_junctions(
         mask = (flags & 1) > 0
         positive = (flags & 2) > 0
         jpos = np.flatnonzero(mask)
-        fidx = first_idx[jpos]
-        uniq = np.unique(fidx)
-        ids = np.searchsorted(uniq, fidx) + 1
-        signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
+        from sibeliaz_tpu.graph.assemble import assign_ids
+
+        signed = assign_ids(first_idx[jpos], positive[jpos])
     elif bool(id_ovf):
         # guard rail: >=2^23 distinct vertex classes — ship absolute int32
         signed = np.asarray(out_id[:count]).astype(np.int64)
@@ -927,21 +516,8 @@ def build_junctions(
         signed = (p >> 8).astype(np.int64)
         signed = np.where(signed >= (1 << 23), signed - (1 << 24), signed)
 
-    # Split global positions back into chromosomes (separator widths = 1).
-    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
-    for i, L in enumerate(lengths):
-        offsets[i + 1] = offsets[i] + L + 1  # +1 separator
-    # jpos is globally ascending (the compaction sort keys by position), so
-    # chromosome boundaries are two binary searches per chromosome instead
-    # of a full-array mask pass each.
-    out: List[JunctionChr] = []
-    for c in range(len(seqs)):
-        lo, hi = offsets[c], offsets[c] + lengths[c]
-        a, b = np.searchsorted(jpos, (lo, hi))
-        out.append(
-            JunctionChr(
-                pos=(jpos[a:b] - lo).astype(np.uint32),
-                ids=signed[a:b],
-            )
-        )
-    return out
+    # Split global positions back into chromosomes (separator widths = 1;
+    # no leading separator in the monolithic join).
+    from sibeliaz_tpu.graph.assemble import split_chromosomes
+
+    return split_chromosomes(jpos, signed, lengths, lead_sep=0)

@@ -39,6 +39,7 @@ from sibeliaz_tpu.graph.construct import (
     _NO_EXT,
     _doubling_codes,
 )
+from sibeliaz_tpu.graph.assemble import assign_ids, split_chromosomes
 from sibeliaz_tpu.io.dbg import JunctionChr
 
 
@@ -282,24 +283,7 @@ def build_junctions_streamed_resident(
     positive = (packed & 1) > 0
     order = np.argsort(gpos, kind="stable")
     gpos, first, positive = gpos[order], first[order], positive[order]
-    uniq = np.unique(first)
-    ids = np.searchsorted(uniq, first) + 1
-    signed = np.where(positive, ids, -ids).astype(np.int64)
-
-    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
-    offsets[0] = 1
-    for i, L in enumerate(lengths):
-        offsets[i + 1] = offsets[i] + L + 1
-    out: List[JunctionChr] = []
-    for c in range(len(seqs)):
-        lo_, hi_ = offsets[c], offsets[c] + lengths[c]
-        a, b = np.searchsorted(gpos, (lo_, hi_))
-        out.append(
-            JunctionChr(
-                pos=(gpos[a:b] - lo_).astype(np.uint32), ids=signed[a:b]
-            )
-        )
-    return out
+    return split_chromosomes(gpos, assign_ids(first, positive), lengths)
 
 
 def build_junctions_streamed(
@@ -410,19 +394,4 @@ def build_junctions_streamed(
     order = np.argsort(gpos, kind="stable")
     gpos, first, positive = gpos[order], first[order], positive[order]
 
-    uniq = np.unique(first)
-    ids = np.searchsorted(uniq, first) + 1
-    signed = np.where(positive, ids, -ids).astype(np.int64)
-
-    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
-    offsets[0] = 1
-    for i, L in enumerate(lengths):
-        offsets[i + 1] = offsets[i] + L + 1
-    out: List[JunctionChr] = []
-    for c in range(len(seqs)):
-        lo_, hi_ = offsets[c], offsets[c] + lengths[c]
-        mm = (gpos >= lo_) & (gpos < hi_)
-        out.append(
-            JunctionChr(pos=(gpos[mm] - lo_).astype(np.uint32), ids=signed[mm])
-        )
-    return out
+    return split_chromosomes(gpos, assign_ids(first, positive), lengths)

@@ -80,6 +80,14 @@ class JunctionTable:
         occ_v: List[np.ndarray] = []
         occ_c: List[np.ndarray] = []
         occ_i: List[np.ndarray] = []
+        # Divergence note (investigated, deliberate): the reference's
+        # per-occurrence idx counter resets via `if (GetChr() > chr)
+        # { chr++; idx = 0; }` ONCE PER RECORD (junctionstorage.h:600-613),
+        # so a chromosome with zero junction records (e.g. all-N) desyncs
+        # vertex idx from the dense position index on the next chromosome
+        # (its first two records both get idx 0) — and the reference binary
+        # then ABORTS on such inputs (verified: SIGABRT on an all-N middle
+        # chromosome).  We keep the dense indexing and simply work.
         for c in range(len(seqs)):
             if c < len(records):
                 ids = records[c].ids.astype(np.int64)

@@ -16,6 +16,7 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from sibeliaz_tpu.core import alphabet
+from sibeliaz_tpu.core.gxxsort import gxx_sort
 from sibeliaz_tpu.lcb.blocks import Block
 
 
@@ -31,7 +32,13 @@ def write_chunks(
         open(os.path.join(out_dir, f"{i}.tmp"), "w") for i in range(chunks)
     ]
     try:
-        # group by id over the (id, chr, start)-sorted list
+        # GroupBy (blocksfinder.h:101-110) re-sorts by |id| with the
+        # UNSTABLE std::sort before grouping; the within-group record
+        # order is that introsort's residue over the incoming
+        # (id, chr, start) order — required for byte equality at >16
+        # instances (below that libstdc++ insertion sort is stable)
+        blocks = list(blocks)
+        gxx_sort(blocks, lambda a, b: a.block_id < b.block_id)
         groups: Dict[int, List[Block]] = {}
         order: List[int] = []
         for b in blocks:

@@ -107,20 +107,7 @@ def build_junctions_multihost(
     first_idx = np.asarray(first)
 
     jpos = np.flatnonzero(mask)
-    fidx = first_idx[jpos]
-    uniq = np.unique(fidx)
-    ids = np.searchsorted(uniq, fidx) + 1
-    signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
+    from sibeliaz_tpu.graph.assemble import assign_ids, split_chromosomes
 
-    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
-    offsets[0] = 1
-    for i, L in enumerate(lengths):
-        offsets[i + 1] = offsets[i] + L + 1
-    out: List[JunctionChr] = []
-    for c in range(len(seqs)):
-        lo, hi = offsets[c], offsets[c] + lengths[c]
-        m = (jpos >= lo) & (jpos < hi)
-        out.append(
-            JunctionChr(pos=(jpos[m] - lo).astype(np.uint32), ids=signed[m])
-        )
-    return out
+    signed = assign_ids(first_idx[jpos], positive[jpos])
+    return split_chromosomes(jpos, signed, lengths)

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sibeliaz_tpu.core import alphabet
 from sibeliaz_tpu.graph.construct import _doubling_codes, _NO_EXT, _INVALID_CANON
+from sibeliaz_tpu.graph.assemble import assign_ids, split_chromosomes
 from sibeliaz_tpu.io.dbg import JunctionChr
 
 _AXIS = "seq"
@@ -288,20 +289,5 @@ def build_junctions_sharded(
     first_idx = np.asarray(first)
 
     jpos = np.flatnonzero(mask)
-    fidx = first_idx[jpos]
-    uniq = np.unique(fidx)
-    ids = np.searchsorted(uniq, fidx) + 1
-    signed = np.where(positive[jpos], ids, -ids).astype(np.int64)
-
-    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
-    offsets[0] = 1  # leading separator
-    for i, L in enumerate(lengths):
-        offsets[i + 1] = offsets[i] + L + 1
-    out: List[JunctionChr] = []
-    for c in range(len(seqs)):
-        lo, hi = offsets[c], offsets[c] + lengths[c]
-        m = (jpos >= lo) & (jpos < hi)
-        out.append(
-            JunctionChr(pos=(jpos[m] - lo).astype(np.uint32), ids=signed[m])
-        )
-    return out
+    signed = assign_ids(first_idx[jpos], positive[jpos])
+    return split_chromosomes(jpos, signed, lengths)

@@ -63,3 +63,43 @@ def test_reference_determinism_across_threads(tmp_path):
     g1 = run_reference_lcb(dpath, fa, str(tmp_path / "o1"), 15, threads=1)
     g4 = run_reference_lcb(dpath, fa, str(tmp_path / "o4"), 15, threads=4)
     assert g1 == g4
+
+
+def test_empty_middle_chromosome_we_work_reference_aborts(tmp_path):
+    """A chromosome with zero junction records (all-N) fires the
+    reference's per-record idx-reset quirk (junctionstorage.h:600-613),
+    desyncing vertex idx from the dense position index — and the reference
+    binary then ABORTS (verified SIGABRT).  Divergence by design: our
+    table keeps dense indexing, the pipeline produces a valid GFF, and
+    oracle/native engines agree."""
+    import subprocess
+
+    rng = np.random.default_rng(88)
+    from sibeliaz_tpu.core import alphabet
+
+    base = alphabet.decode(rng.integers(0, 4, size=2500).astype(np.uint8))
+    mut = base.copy()
+    idx = np.flatnonzero(rng.random(len(mut)) < 0.02)
+    mut[idx] = alphabet.decode(
+        rng.integers(0, 4, size=len(idx)).astype(np.uint8)
+    )
+    blank = np.full(400, ord("N"), np.uint8)
+    seqs = [base, blank, mut]
+    names = ["g1.chr1", "g1.gap", "g2.chr1"]
+    try:
+        _, ours = run_both(tmp_path, seqs, names, 15)
+    except subprocess.CalledProcessError:
+        # the reference aborted; run only our side
+        cfg = Config(k=15)
+        records = construct.build_junctions(seqs, 15)
+        ours = pipeline.find_blocks(
+            seqs, names, cfg, records=records, engine="oracle"
+        ).gff
+    cfg = Config(k=15)
+    records = construct.build_junctions(seqs, 15)
+    ours_native = pipeline.find_blocks(
+        seqs, names, cfg, records=records, engine="native"
+    ).gff
+    assert ours == ours_native
+    assert ours.startswith("##gff-version")
+    assert "g2.chr1" in ours
