@@ -67,7 +67,9 @@ def read_dbg(path: str) -> List[JunctionChr]:
         # we do the same.
         data = data[: len(data) - len(data) % _REC.itemsize]
     rec = np.frombuffer(data, dtype=_REC)
-    is_sep = (rec["pos"] == SEPARATOR_POS) & (rec["id"] == SEPARATOR_ID)
+    # the reference keeps a pair only when BOTH fields differ from the
+    # sentinels (junctionapi.h:93) — EITHER matching makes it a separator
+    is_sep = (rec["pos"] == SEPARATOR_POS) | (rec["id"] == SEPARATOR_ID)
     chr_of = np.cumsum(is_sep) - is_sep  # separators advance subsequent records
     keep = ~is_sep
     rec = rec[keep]

@@ -434,7 +434,9 @@ struct Path {
 
 struct Scratch {
   Path path;
-  std::vector<uint64_t> count;  // dense votes, index vid + V
+  // uint32 on purpose: the reference wraps votes at 2^32
+  // (blocksfinder.h:341,733) — well-defined and load-bearing for parity
+  std::vector<uint32_t> count;  // dense votes, index vid + V
   std::vector<i64> touched;     // vote entries to reset
   explicit Scratch(const Engine& e)
       : path(e), count(2 * e.g.V + 1, 0) {}
@@ -466,7 +468,7 @@ static NextPick most_popular(const Engine& e, Path& path, bool forward,
       if (!path.dist_set(v) && (!e.is_used(it) || try_used)) {
         i64 adj = v + e.g.V;
         if (sc.count[adj] == 0) sc.touched.push_back(adj);
-        sc.count[adj] += uint64_t(weight);
+        sc.count[adj] += uint32_t(weight);
         if (sc.count[adj] > ret.cnt ||
             (sc.count[adj] == ret.cnt && ret.has_origin &&
              e.it_lt(origin, ret.origin))) {

@@ -39,6 +39,7 @@ from typing import Dict, List, Optional, Tuple
 
 from sibeliaz_tpu.core.gxxsort import gxx_sort
 from sibeliaz_tpu.junctions.table import JunctionTable
+from sibeliaz_tpu.core.alphabet import _COMPLEMENT_TABLE
 from sibeliaz_tpu.lcb.blocks import Block
 
 SIZE_MAX = 2**64 - 1
@@ -150,9 +151,7 @@ class LcbEngine:
             return int(seq[p + self.k]) if p + self.k < len(seq) else 0
         # reference reads seq[p-1]; p==0 is UB there — we define it as 'N'
         if p > 0:
-            from sibeliaz_tpu.core import alphabet
-
-            return int(alphabet.complement_char(seq[p - 1 : p])[0])
+            return int(_COMPLEMENT_TABLE[seq[p - 1]])
         return ord("N")
 
     def is_used(self, it: It) -> bool:
@@ -180,30 +179,26 @@ class LcbEngine:
     def out_edge(self, it: It) -> Edge:
         c, i, s = it
         jid, jpos, seq = self.t.jid[c], self.t.jpos[c], self.t.seqs[c]
-        from sibeliaz_tpu.core import alphabet
-
         if s > 0:
             np_, xp = int(jpos[i]), int(jpos[i + 1])
             ch = int(seq[np_ + self.k])
-            rev = int(alphabet.complement_char(seq[xp - 1 : xp])[0])
+            rev = int(_COMPLEMENT_TABLE[seq[xp - 1]])
             return (int(jid[i]), int(jid[i + 1]), ch, rev, xp - np_)
         np_, xp = int(jpos[i]), int(jpos[i - 1])
-        ch = int(alphabet.complement_char(seq[np_ - 1 : np_])[0])
+        ch = int(_COMPLEMENT_TABLE[seq[np_ - 1]])
         rev = int(seq[np_ + self.k]) if np_ + self.k < len(seq) else 0
         return (-int(jid[i]), -int(jid[i - 1]), ch, rev, np_ - xp)
 
     def in_edge(self, it: It) -> Edge:
         c, i, s = it
         jid, jpos, seq = self.t.jid[c], self.t.jpos[c], self.t.seqs[c]
-        from sibeliaz_tpu.core import alphabet
-
         if s > 0:
             np_, pp = int(jpos[i]), int(jpos[i - 1])
             ch = int(seq[pp + self.k])
-            rev = int(alphabet.complement_char(seq[np_ - 1 : np_])[0])
+            rev = int(_COMPLEMENT_TABLE[seq[np_ - 1]])
             return (int(jid[i - 1]), int(jid[i]), ch, rev, np_ - pp)
         np_, pp = int(jpos[i]), int(jpos[i + 1])
-        ch = int(alphabet.complement_char(seq[pp - 1 : pp])[0])
+        ch = int(_COMPLEMENT_TABLE[seq[pp - 1]])
         rev = int(seq[np_ + self.k]) if np_ + self.k < len(seq) else 0
         return (-int(jid[i + 1]), -int(jid[i]), ch, rev, pp - np_)
 
@@ -458,7 +453,11 @@ class LcbEngine:
             ):
                 v = self.vid(it)
                 if not path.is_in(v) and (not self.is_used(it) or try_used):
-                    count[v] = count.get(v, 0) + weight
+                    # the reference accumulates votes in uint32
+                    # (blocksfinder.h:341,733) — the wrap at 2^32 is
+                    # well-defined unsigned arithmetic and load-bearing
+                    # for byte parity on extreme inputs
+                    count[v] = (count.get(v, 0) + weight) & 0xFFFFFFFF
                     if count[v] > best_count or (
                         count[v] == best_count
                         and best_origin is not None

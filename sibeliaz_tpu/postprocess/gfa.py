@@ -172,9 +172,16 @@ def maf_to_gfa(
             emit_segment(b1)
             emit_segment(b2)
             if s1 + r1.size != s2:
-                raise RuntimeError(
-                    f"blocks not adjacent on {name}: {s1}+{r1.size} != {s2}"
+                # overlapping/non-adjacent rows: the reference script
+                # prints "FAIL ..." and skips the link
+                # (maf_to_gfa1.py:193); we do the same but to stderr so
+                # the emitted GFA stream stays well-formed
+                import sys
+
+                print(
+                    f"FAIL {name} {s1} {r1.size} {s2}", file=sys.stderr
                 )
+                continue
             key = (b1, r1.strand, b2, r2.strand)
             if key not in links:
                 links.add(key)

@@ -133,14 +133,20 @@ def _chain_stage(
     # (a) drop noise blocks shorter than min_noise
     pruned = [[o for o in p if o.length >= min_noise] for p in perms]
 
-    # collect adjacency stats per ordered signed pair in + reading direction
+    # collect adjacency stats per ordered signed pair in + reading
+    # direction; permutation ends register a sentinel successor/
+    # predecessor (block 0, never a real id) so a terminal occurrence of
+    # `a` blocks chaining — "adjacent in *every* occurrence" must include
+    # occurrences with no neighbor at all
     succ: Dict[int, set] = {}
     pred: Dict[int, set] = {}
     gapok: Dict[Tuple[int, int], bool] = {}
-    count: Dict[int, int] = {}
     for p in pruned:
-        for o in p:
-            count[abs(o.block)] = count.get(abs(o.block), 0) + 1
+        if p:
+            succ.setdefault(p[-1].block, set()).add(0)
+            pred.setdefault(p[0].block, set()).add(0)
+            succ.setdefault(-p[0].block, set()).add(0)
+            pred.setdefault(-p[-1].block, set()).add(0)
         for x, y in zip(p, p[1:]):
             succ.setdefault(x.block, set()).add(y.block)
             pred.setdefault(y.block, set()).add(x.block)
@@ -162,10 +168,9 @@ def _chain_stage(
 
     # (b) chain maximal unique paths
     changed = False
-    out: List[List[Occ]] = []
-    mapping: Dict[Tuple[int, int], Occ] = {}
+    out: List[list] = []  # per chromosome: (Occ, members-or-None) pairs
     for p in pruned:
-        np_: List[Occ] = []
+        np_: List[tuple] = []
         i = 0
         while i < len(p):
             j = i
@@ -173,7 +178,6 @@ def _chain_stage(
                 j += 1
             if j > i:
                 changed = True
-                key = tuple(abs(o.block) for o in p[i : j + 1])
                 merged = Occ(
                     block=0,
                     chr=p[i].chr,

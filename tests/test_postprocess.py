@@ -128,3 +128,17 @@ def test_synteny_cli_simpl_flag(tmp_path):
         ["synteny", str(gff), "-o", str(out), "-b", "100", "-s", "fine"]
     ) == 0
     assert (out / "100" / "blocks_coords.txt").exists()
+
+
+def test_synteny_terminal_occurrence_blocks_chain():
+    """A block with an occurrence at a permutation end must not chain with
+    its neighbor elsewhere — adjacency must hold in EVERY occurrence."""
+    occs = [
+        synteny.Occ(block=1, chr=0, start=0, end=6000),
+        synteny.Occ(block=2, chr=0, start=6000, end=12000),
+        synteny.Occ(block=1, chr=1, start=0, end=6000),
+    ]
+    out = synteny.build_synteny(occs, 2, min_block=100)
+    ids = sorted(abs(o.block) for o in out)
+    # block 1 survives with 2 occurrences; block 2 (single copy) is dropped
+    assert len(out) == 2 and ids == [1, 1]
