@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
 #include <vector>
@@ -136,23 +137,6 @@ struct Graph {
     std::vector<int> rank(ch.size());
     for (int r = 0; r < N; r++) rank[topo[r]] = r;
 
-    // Memory plan: full direction matrix when it fits; otherwise
-    // checkpointed traceback (save every C-th score row, refill direction
-    // rows per segment during traceback — ~2x compute, O(N*sqrt(n)) memory)
-    // so big blocks still get aligned instead of being dropped the way the
-    // reference's spoa-OOM path drops them.
-    bool full_dir = (n + 1) * i64(N) <= budget;
-    i64 C = 0;
-    if (!full_dir) {
-      // C = 2*sqrt(n+1) minimizes N*C + 4*N*(n+1)/C, so a single
-      // feasibility check suffices (growing C only costs more)
-      C = std::max<i64>(64, i64(2 * std::sqrt(double(n + 1))));
-      if (i64(N) * C + 4 * i64(N) * ((n + 1) / C + 2) > budget) {
-        overflow = true;  // graph alone exceeds the budget
-        return;
-      }
-    }
-
     // ---- DP: rolling rows + direction matrix ----
     // Flatten predecessor lists into rank-space CSR once (the per-cell
     // vector-of-vectors walk was the hot path), and use int32 scores (they
@@ -176,27 +160,6 @@ struct Graph {
         chain[r] = 1;
 
     auto src = [&](i64 i) { return Score(GAP * i); };
-    auto fill_row0 = [&](Score* H, u8* drow) {
-      for (int r = 0; r < N; r++) {
-        int np = pred_off[r + 1] - pred_off[r];
-        if (np == 0) {
-          H[r] = src(0) + GAP;
-          if (drow) drow[r] = DIR_DEL_SRC;
-        } else {
-          Score best = NEGS;
-          int bk = 0;
-          for (int k = 0; k < np; k++) {
-            Score v = H[pred_rank[pred_off[r] + k]];
-            if (v > best) {
-              best = v;
-              bk = k;
-            }
-          }
-          H[r] = best + GAP;
-          if (drow) drow[r] = dir_del(bk);
-        }
-      }
-    };
     // Maximal chain runs [a, b): within a run every node's single pred is
     // its left neighbor, so the row recurrence is
     //   H[r] = max(diag[r], ins[r], H[r-1] + GAP)
@@ -220,6 +183,188 @@ struct Graph {
         }
       }
     }
+
+    // ---- exact banding ----
+    // bound(i, r) is a static upper bound on the total score of ANY
+    // complete alignment whose DP path passes through cell (i, r): i prefix
+    // chars against some source→r path depth d ∈ [mind, maxd], plus n−i
+    // suffix chars against some r→sink remainder e ∈ [mins, maxs], each
+    // side bounded by 5·min(chars, depth) − 8·|chars − depth|.  Given an
+    // achieved alignment score S, restricting the DP to cells with
+    // bound ≥ S reproduces the FULL DP's traceback byte-for-byte: every
+    // cell on any co-optimal path — and every cell of such a cell's own
+    // optimal prefix — has bound ≥ S_opt ≥ S, so all of them are computed
+    // with their exact values; every tie the full DP resolves is seen here
+    // with equal operands (same priority rules); and excluded or
+    // underestimated cells can never win a comparison because banded
+    // values never exceed true ones.  Two passes: pass 1 bands at a guess
+    // S0 = sinkUB − slack; if its result S ≥ S0 it is already certified
+    // (allowed(S_opt) ⊆ allowed(S0)); otherwise pass 2 re-runs over
+    // allowed(S), certified unconditionally since S ≤ S_opt.
+    i64 band_min = 256;
+    if (const char* e = std::getenv("SZ_POA_BAND_MIN"))
+      band_min = std::atoll(e);
+    bool banding = n >= band_min && i64(N) >= band_min;
+    if (const char* e = std::getenv("SZ_POA_BAND"))
+      if (std::atoi(e) == 0) banding = false;
+
+    std::vector<i64> mind, maxd, mins, maxs;
+    if (banding) {
+      mind.resize(N);
+      maxd.resize(N);
+      mins.assign(N, i64(1) << 50);
+      maxs.assign(N, -1);
+      for (int r = 0; r < N; r++) {
+        int np = pred_off[r + 1] - pred_off[r];
+        if (np == 0) {
+          mind[r] = maxd[r] = 1;
+          continue;
+        }
+        i64 mn = i64(1) << 50, mx = 0;
+        for (int k = 0; k < np; k++) {
+          int pr = pred_rank[pred_off[r] + k];
+          mn = std::min(mn, mind[pr]);
+          mx = std::max(mx, maxd[pr]);
+        }
+        mind[r] = mn + 1;
+        maxd[r] = mx + 1;
+      }
+      for (int r = N - 1; r >= 0; r--) {
+        if (maxs[r] < 0) {  // no successor recorded: sink
+          mins[r] = 0;
+          maxs[r] = 0;
+        }
+        for (int k = pred_off[r]; k < pred_off[r + 1]; k++) {
+          int pr = pred_rank[k];
+          mins[pr] = std::min(mins[pr], mins[r] + 1);
+          maxs[pr] = std::max(maxs[pr], maxs[r] + 1);
+        }
+      }
+    }
+    auto side_bound = [](i64 chars, i64 dmin, i64 dmax) -> i64 {
+      if (chars < dmin) return 5 * chars - 8 * (dmin - chars);
+      if (chars > dmax) return 5 * dmax - 8 * (chars - dmax);
+      return 5 * chars;
+    };
+    auto bound_at = [&](i64 i, int r) -> i64 {
+      return side_bound(i, mind[r], maxd[r]) +
+             side_bound(n - i, mins[r], maxs[r]);
+    };
+
+    std::vector<int> lo_m(n + 1, 0), hi_m(n + 1, N);
+    std::vector<i64> doff(n + 2, 0);  // band-packed dir row offsets
+    auto build_doff = [&]() {
+      for (i64 i = 0; i <= n; i++)
+        doff[i + 1] = doff[i] + (hi_m[i] - lo_m[i]);
+    };
+    // Monotone per-row hull of {(i, r) : bound(i, r) ≥ S}:
+    //   lo_m[i] = min{r allowed at some row ≥ i}   (nondecreasing in i)
+    //   hi_m[i] = max{r allowed at some row ≤ i}+1 (nondecreasing in i)
+    // Both are supersets of the exact allowed rows; monotonicity is what
+    // keeps stale cells strictly LEFT of the band (guarded reads) and
+    // right-of-band cells untouched NEGS until the band reaches them.
+    auto make_hull = [&](i64 S) -> bool {
+      std::vector<int> bmin(n + 1, N), bmax(n + 1, -1);
+      for (int r = 0; r < N; r++) {
+        // the bound is concave piecewise-linear in i: its max is at a
+        // breakpoint; the allowed-i set is one interval found by bisection
+        i64 cand[6] = {0, n, mind[r], maxd[r], n - maxs[r], n - mins[r]};
+        i64 ibest = 0, vbest = -(i64(1) << 60);
+        for (i64 c : cand) {
+          c = std::min(std::max<i64>(c, 0), n);
+          i64 v = bound_at(c, r);
+          if (v > vbest) {
+            vbest = v;
+            ibest = c;
+          }
+        }
+        if (vbest < S) continue;  // node never allowed
+        i64 a = 0, b = ibest;
+        while (a < b) {
+          i64 m = (a + b) / 2;
+          if (bound_at(m, r) >= S)
+            b = m;
+          else
+            a = m + 1;
+        }
+        i64 ia = a;
+        a = ibest;
+        b = n;
+        while (a < b) {
+          i64 m = (a + b + 1) / 2;
+          if (bound_at(m, r) >= S)
+            a = m;
+          else
+            b = m - 1;
+        }
+        i64 ib = a;
+        bmin[ib] = std::min(bmin[ib], r);
+        bmax[ia] = std::max(bmax[ia], r);
+      }
+      int run = N;
+      for (i64 i = n; i >= 0; i--) {
+        run = std::min(run, bmin[i]);
+        lo_m[i] = run;
+      }
+      run = -1;
+      for (i64 i = 0; i <= n; i++) {
+        run = std::max(run, bmax[i]);
+        hi_m[i] = run + 1;
+      }
+      for (i64 i = 0; i <= n; i++)
+        if (lo_m[i] >= hi_m[i]) return false;  // empty row: S unreachable
+      return true;
+    };
+
+    i64 S0 = -(i64(1) << 60);
+    if (banding) {
+      i64 sink_ub = -(i64(1) << 60);  // tight UB: paths must end at a sink
+      for (int r = 0; r < N; r++)
+        if (succs[topo[r]].empty())
+          sink_ub = std::max(sink_ub, bound_at(n, r));
+      bool have_band = false;
+      i64 slack = 13 * (64 + n / 32);
+      for (int e = 0; e < 3 && !have_band; e++, slack *= 4) {
+        S0 = sink_ub - slack;
+        have_band = make_hull(S0);
+      }
+      if (have_band) {
+        build_doff();
+        // band nearly full-width: the two-pass overhead isn't worth it
+        if (doff[n + 1] * 4 >= 3 * (n + 1) * i64(N)) have_band = false;
+      }
+      if (!have_band) banding = false;
+    }
+    if (!banding) {
+      std::fill(lo_m.begin(), lo_m.end(), 0);
+      std::fill(hi_m.begin(), hi_m.end(), N);
+      build_doff();
+      S0 = -(i64(1) << 60);
+    }
+
+    auto fill_row0 = [&](Score* H, u8* drow) {
+      int lo = lo_m[0], hi = hi_m[0];
+      for (int r = lo; r < hi; r++) {
+        int np = pred_off[r + 1] - pred_off[r];
+        if (np == 0) {
+          H[r] = src(0) + GAP;
+          if (drow) drow[r] = DIR_DEL_SRC;
+        } else {
+          Score best = NEGS;
+          int bk = 0;
+          for (int k = 0; k < np; k++) {
+            int pr = pred_rank[pred_off[r] + k];
+            Score v = pr >= lo ? H[pr] : NEGS;
+            if (v > best) {
+              best = v;
+              bk = k;
+            }
+          }
+          H[r] = best + GAP;
+          if (drow) drow[r] = dir_del(bk);
+        }
+      }
+    };
     auto fill_chain_run = [&](int a, int b, u8 c, const Score* Hp, Score* Hc,
                               u8* drow) {
       // Fused w = max(diag, ins) + deletion-chain prefix
@@ -286,7 +431,7 @@ struct Graph {
     };
 
     auto fill_cell_general = [&](int r, i64 i, u8 c, const Score* Hp,
-                                 Score* Hc, u8* drow) {
+                                 Score* Hc, u8* drow, int plo, int lo) {
       Score sc = node_ch[r] == c ? Score(MATCH) : Score(MISMATCH);
       Score diag, dele;
       u8 dm, dd;
@@ -302,12 +447,16 @@ struct Graph {
             int kd = 0, ke = 0;
             for (int k = 0; k < np; k++) {
               int pr = pred_rank[pred_off[r] + k];
-              if (Hp[pr] > bd) {
-                bd = Hp[pr];
+              // band guards: cells left of the (monotone) band hold stale
+              // values from older rows; right-of-band cells are clean NEGS
+              Score vH = pr >= plo ? Hp[pr] : NEGS;
+              Score vC = pr >= lo ? Hc[pr] : NEGS;
+              if (vH > bd) {
+                bd = vH;
                 kd = k;
               }
-              if (Hc[pr] > be) {
-                be = Hc[pr];
+              if (vC > be) {
+                be = vC;
                 ke = k;
               }
             }
@@ -337,79 +486,134 @@ struct Graph {
 
     auto fill_row = [&](i64 i, const Score* Hp, Score* Hc, u8* drow) {
       u8 c = s[i - 1];
-      size_t ri = 0;
-      int r = 0;
-      while (r < N) {
-        if (ri < run_start.size() && run_start[ri] == r) {
-          fill_chain_run(run_start[ri], run_end[ri], c, Hp, Hc, drow);
-          r = run_end[ri];
-          ri++;
+      int lo = lo_m[i], hi = hi_m[i], plo = lo_m[i - 1];
+      if (lo > 0) Hc[lo - 1] = NEGS;  // deletion-chain entry sentinel
+      size_t ri = std::upper_bound(run_end.begin(), run_end.end(), lo) -
+                  run_end.begin();
+      int r = lo;
+      while (r < hi) {
+        if (ri < run_start.size() && run_start[ri] <= r) {
+          int b = std::min(run_end[ri], hi);
+          fill_chain_run(r, b, c, Hp, Hc, drow);
+          r = b;
+          if (r >= run_end[ri]) ri++;
         } else {
-          fill_cell_general(r, i, c, Hp, Hc, drow);
-          r++;
+          int stop = hi;
+          if (ri < run_start.size()) stop = std::min(stop, run_start[ri]);
+          for (; r < stop; r++)
+            fill_cell_general(r, i, c, Hp, Hc, drow, plo, lo);
         }
       }
     };
 
-    std::vector<u8> dir;
-    std::vector<u8> dir0(N);
+    // Memory plan (per pass): full band-packed direction matrix when it
+    // fits; otherwise checkpointed traceback (save every C-th score row,
+    // refill direction rows per segment during traceback — ~2x compute,
+    // O(N*sqrt(n)) memory) so big blocks still get aligned instead of being
+    // dropped the way the reference's spoa-OOM path drops them.
+    std::vector<u8> dir;             // full_dir: band-packed rows 0..n
+    std::vector<u8> dir0(N, 0);      // checkpoint mode: row 0, absolute
     std::vector<Score> checkpoints;  // rows 0, C, 2C, ... (checkpoint mode)
     std::vector<Score> Hprev(N, NEGS), Hcur(N, NEGS);
-    i64 n_ckpt = 0;
-    if (full_dir) {
-      dir.assign((n + 1) * i64(N), 0);
-      fill_row0(Hprev.data(), dir.data());
-      std::copy(dir.begin(), dir.begin() + N, dir0.begin());
-      for (i64 i = 1; i <= n; i++) {
-        fill_row(i, Hprev.data(), Hcur.data(), dir.data() + i * N);
-        std::swap(Hprev, Hcur);
+    bool full_dir = false;
+    i64 C = 0, n_ckpt = 0;
+
+    auto run_pass = [&](int& best_r, i64& best_sc) -> bool {
+      i64 wsum = doff[n + 1];
+      full_dir = wsum <= budget;
+      C = 0;
+      if (!full_dir) {
+        // C = 2*sqrt(n+1) minimizes N*C + 4*N*(n+1)/C, so a single
+        // feasibility check suffices (growing C only costs more)
+        C = std::max<i64>(64, i64(2 * std::sqrt(double(n + 1))));
+        i64 maxw = 0;
+        for (i64 i = 0; i <= n; i++)
+          maxw = std::max(maxw, i64(hi_m[i] - lo_m[i]));
+        if (maxw * C + 4 * i64(N) * ((n + 1) / C + 2) > budget)
+          return false;  // graph alone exceeds the budget
       }
-    } else {
-      n_ckpt = n / C + 1;
-      checkpoints.assign(n_ckpt * i64(N), NEGS);
-      fill_row0(Hprev.data(), dir0.data());
-      std::copy(Hprev.begin(), Hprev.end(), checkpoints.begin());
-      for (i64 i = 1; i <= n; i++) {
-        fill_row(i, Hprev.data(), Hcur.data(), nullptr);
-        std::swap(Hprev, Hcur);
-        if (i % C == 0 && i / C < n_ckpt)
-          std::copy(Hprev.begin(), Hprev.end(),
-                    checkpoints.begin() + (i / C) * i64(N));
+      std::fill(Hprev.begin(), Hprev.end(), NEGS);
+      std::fill(Hcur.begin(), Hcur.end(), NEGS);
+      if (full_dir) {
+        dir.assign(wsum, 0);
+        fill_row0(Hprev.data(), dir.data() + doff[0] - lo_m[0]);
+        for (i64 i = 1; i <= n; i++) {
+          fill_row(i, Hprev.data(), Hcur.data(),
+                   dir.data() + doff[i] - lo_m[i]);
+          std::swap(Hprev, Hcur);
+        }
+      } else {
+        n_ckpt = n / C + 1;
+        checkpoints.assign(n_ckpt * i64(N), NEGS);
+        std::fill(dir0.begin(), dir0.end(), 0);
+        fill_row0(Hprev.data(), dir0.data());
+        std::copy(Hprev.begin(), Hprev.end(), checkpoints.begin());
+        for (i64 i = 1; i <= n; i++) {
+          fill_row(i, Hprev.data(), Hcur.data(), nullptr);
+          std::swap(Hprev, Hcur);
+          if (i % C == 0 && i / C < n_ckpt)
+            std::copy(Hprev.begin(), Hprev.end(),
+                      checkpoints.begin() + (i / C) * i64(N));
+        }
+      }
+      // Hprev now holds row n.
+      // ---- end node: sink with max score, smallest rank ----
+      best_r = -1;
+      best_sc = NEG;
+      for (int r = lo_m[n]; r < hi_m[n]; r++)
+        if (succs[topo[r]].empty() && Hprev[r] > best_sc) {
+          best_sc = Hprev[r];
+          best_r = r;
+        }
+      return true;
+    };
+
+    int best_r;
+    i64 best_sc;
+    if (!run_pass(best_r, best_sc)) {
+      overflow = true;
+      return;
+    }
+    if (banding && !(best_r >= 0 && best_sc >= S0)) {
+      // pass 1 not certified: re-band at the achieved score (always
+      // certified since best_sc <= S_opt), or run full if pass 1 found
+      // no finite in-band score at all.
+      if (!(best_r >= 0 && make_hull(best_sc))) {
+        std::fill(lo_m.begin(), lo_m.end(), 0);
+        std::fill(hi_m.begin(), hi_m.end(), N);
+      }
+      build_doff();
+      if (!run_pass(best_r, best_sc)) {
+        overflow = true;
+        return;
       }
     }
-    // Hprev now holds row n.
-
-    // ---- end node: sink with max score, smallest rank ----
-    int best_r = -1;
-    i64 best_sc = NEG;
-    for (int r = 0; r < N; r++)
-      if (succs[topo[r]].empty() && Hprev[r] > best_sc) {
-        best_sc = Hprev[r];
-        best_r = r;
-      }
 
     // ---- traceback from the (possibly segment-refilled) direction rows ---
     std::vector<u8> dirseg;
     i64 cur_seg = -1;
     std::vector<Score> Ha(N), Hb(N);
     auto get_dir = [&](i64 i, int r) -> u8 {
+      if (full_dir) return dir[doff[i] + (r - lo_m[i])];
       if (i == 0) return dir0[r];
-      if (full_dir) return dir[i * N + r];
       i64 seg = (i - 1) / C;  // segment covers rows [seg*C+1, (seg+1)*C]
       if (seg != cur_seg) {
         cur_seg = seg;
         i64 lo = seg * C;  // checkpoint row
         i64 hi = std::min(lo + C, n);
-        dirseg.assign((hi - lo) * i64(N), 0);
+        dirseg.assign(doff[hi + 1] - doff[lo + 1], 0);
         std::copy(checkpoints.begin() + seg * i64(N),
                   checkpoints.begin() + (seg + 1) * i64(N), Ha.begin());
+        // segments are refilled in DESCENDING i order, so Hb may hold
+        // values from later (wider-band) rows — clear before reuse
+        std::fill(Hb.begin(), Hb.end(), NEGS);
         for (i64 j = lo + 1; j <= hi; j++) {
           fill_row(j, Ha.data(), Hb.data(),
-                   dirseg.data() + (j - lo - 1) * N);
+                   dirseg.data() + (doff[j] - doff[lo + 1]) - lo_m[j]);
           std::swap(Ha, Hb);
         }
       }
-      return dirseg[(i - cur_seg * C - 1) * N + r];
+      return dirseg[(doff[i] - doff[cur_seg * C + 1]) + (r - lo_m[i])];
     };
 
     std::vector<std::pair<int, i64>> aln;

@@ -143,3 +143,79 @@ class TestCheckpointedTraceback:
         seqs = [s("ACGT" * 50), s("ACGT" * 50)]
         got = msa_mod.poa_msa_batch([seqs], budget_bytes=100)
         assert got[0] is None
+
+
+class TestExactBanding:
+    """The banded DP (poa.cpp '---- exact banding ----') must be
+    byte-identical to the full DP: the score-certificate band provably
+    contains every co-optimal traceback cell, so tracebacks — not just
+    scores — match.  These tests compare banded (default) against
+    SZ_POA_BAND=0 across divergences that exercise pass-1 acceptance,
+    the pass-2 re-band, and the full-DP fallback."""
+
+    @staticmethod
+    def _blocks(rng, n, copies, div):
+        base = alphabet.decode(rng.integers(0, 4, size=n).astype(np.uint8))
+        seqs = [base]
+        for _ in range(copies - 1):
+            seq = base.copy()
+            for p in np.flatnonzero(rng.random(n) < div):
+                seq[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+            for _ in range(int(n * div / 40) + 1):
+                cut = int(rng.integers(0, len(seq) - 10))
+                seq = np.delete(
+                    seq, slice(cut, cut + int(rng.integers(1, 6)))
+                )
+            seqs.append(seq)
+        return seqs
+
+    @pytest.mark.parametrize("div", [0.002, 0.01, 0.05, 0.15])
+    def test_banded_equals_full(self, monkeypatch, div):
+        rng = np.random.default_rng(int(div * 1000))
+        blocks = [self._blocks(rng, 900, 3, div) for _ in range(3)]
+        monkeypatch.setenv("SZ_POA_BAND", "0")
+        full = msa_mod.poa_msa_batch(blocks)
+        monkeypatch.setenv("SZ_POA_BAND", "1")
+        monkeypatch.setenv("SZ_POA_BAND_MIN", "64")
+        banded = msa_mod.poa_msa_batch(blocks)
+        assert banded == full
+
+    def test_unrelated_sequences_full_fallback(self, monkeypatch):
+        # completely unrelated copies: pass 1 finds a poor S, pass 2's
+        # allowed(S) band is ~full width — output must still match
+        rng = np.random.default_rng(7)
+        blocks = [
+            [
+                alphabet.decode(
+                    rng.integers(0, 4, size=400).astype(np.uint8)
+                )
+                for _ in range(2)
+            ]
+        ]
+        monkeypatch.setenv("SZ_POA_BAND", "0")
+        full = msa_mod.poa_msa_batch(blocks)
+        monkeypatch.setenv("SZ_POA_BAND", "1")
+        monkeypatch.setenv("SZ_POA_BAND_MIN", "64")
+        banded = msa_mod.poa_msa_batch(blocks)
+        assert banded == full
+
+    def test_banded_checkpoint_traceback(self, monkeypatch):
+        # budget small enough to force checkpointed traceback *within* the
+        # banded pass: segment refills must respect the per-row bands
+        rng = np.random.default_rng(11)
+        blocks = [self._blocks(rng, 1200, 3, 0.02)]
+        monkeypatch.setenv("SZ_POA_BAND", "0")
+        full = msa_mod.poa_msa_batch(blocks)
+        monkeypatch.setenv("SZ_POA_BAND", "1")
+        monkeypatch.setenv("SZ_POA_BAND_MIN", "64")
+        banded_ckpt = msa_mod.poa_msa_batch(blocks, budget_bytes=120_000)
+        assert banded_ckpt == full
+
+    def test_banded_vs_spec(self, monkeypatch):
+        # direct spec differential with banding forced on small inputs
+        rng = np.random.default_rng(13)
+        seqs = self._blocks(rng, 150, 4, 0.04)
+        expect = poa_ref.poa_msa(seqs)
+        monkeypatch.setenv("SZ_POA_BAND_MIN", "1")
+        got = msa_mod.poa_msa_batch([seqs])[0]
+        assert got == expect
