@@ -211,6 +211,34 @@ class TestExactBanding:
         banded_ckpt = msa_mod.poa_msa_batch(blocks, budget_bytes=120_000)
         assert banded_ckpt == full
 
+    @pytest.mark.parametrize("seed", range(15))
+    def test_fuzz_banded_vs_full(self, monkeypatch, seed):
+        # randomized divergences, indels, copies, and budgets (including
+        # budgets that force checkpointed traceback).  Two legal outcomes
+        # per block: byte-identical MSAs, or banding fitting a block whose
+        # full DP overflows the budget (banded must then still despell to
+        # the inputs).  Any other difference is a banding bug.
+        rng = np.random.default_rng(3000 + seed)
+        n = int(rng.integers(80, 2000))
+        copies = int(rng.integers(2, 7))
+        div = float(rng.choice([0.001, 0.01, 0.04, 0.12, 0.5]))
+        budget = int(rng.choice([2 << 30, 200_000, 60_000]))
+        seqs = [
+            np.asarray(x)
+            for x in self._blocks(rng, n, copies, div)
+        ]
+        monkeypatch.setenv("SZ_POA_BAND_MIN", "64")
+        monkeypatch.setenv("SZ_POA_BAND", "0")
+        full = msa_mod.poa_msa_batch([seqs], budget_bytes=budget)[0]
+        monkeypatch.setenv("SZ_POA_BAND", "1")
+        banded = msa_mod.poa_msa_batch([seqs], budget_bytes=budget)[0]
+        if full is None:
+            if banded is not None:  # banding fit what full DP couldn't
+                for seq, row in zip(seqs, banded):
+                    assert row.replace(b"-", b"") == bytes(seq)
+        else:
+            assert banded == full
+
     def test_banded_vs_spec(self, monkeypatch):
         # direct spec differential with banding forced on small inputs
         rng = np.random.default_rng(13)
