@@ -75,25 +75,21 @@ def run_config(name):
             cmd=name, threads=threads,
         )
         extra["maf_bytes"] = os.path.getsize("/tmp/bench_cfg.maf")
-    elif name == "ecoli16-k15":
+    elif name in ("ecoli16-k15", "ecoli16-full-maf"):
         seqs, names = synth(2, 16, 1, 1_000_000, mut=0.01)
         cfg = Config(k=15, threads=threads, abundance_threshold=64)
         records = construct.build_junctions(seqs, cfg.k)
         res = pipeline.find_blocks(seqs, names, cfg, records=records)
-    elif name == "ecoli16-full-maf":
-        from sibeliaz_tpu.align import msa as msa_mod
+        if name == "ecoli16-full-maf":
+            from sibeliaz_tpu.align import msa as msa_mod
 
-        seqs, names = synth(2, 16, 1, 1_000_000, mut=0.01)
-        cfg = Config(k=15, threads=threads, abundance_threshold=64)
-        records = construct.build_junctions(seqs, cfg.k)
-        res = pipeline.find_blocks(seqs, names, cfg, records=records)
-        t_aln = time.time()
-        msa_mod.align_blocks_to_maf(
-            res.blocks, seqs, names, "/tmp/bench_cfg16.maf",
-            cmd=name, threads=threads,
-        )
-        extra["align_seconds"] = round(time.time() - t_aln, 2)
-        extra["maf_bytes"] = os.path.getsize("/tmp/bench_cfg16.maf")
+            t_aln = time.time()
+            msa_mod.align_blocks_to_maf(
+                res.blocks, seqs, names, "/tmp/bench_cfg16.maf",
+                cmd=name, threads=threads,
+            )
+            extra["align_seconds"] = round(time.time() - t_aln, 2)
+            extra["maf_bytes"] = os.path.getsize("/tmp/bench_cfg16.maf")
     elif name == "yeast-k21-synteny":
         from sibeliaz_tpu.postprocess import synteny
 

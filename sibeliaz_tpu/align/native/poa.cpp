@@ -205,6 +205,11 @@ struct Graph {
     if (const char* e = std::getenv("SZ_POA_BAND_MIN"))
       band_min = std::atoll(e);
     bool banding = n >= band_min && i64(N) >= band_min;
+    // The certificate treats NEGS as a floor: a guarded out-of-band read
+    // must never exceed the cell's true value.  True values are bounded
+    // below by -8*(n+N), so disable banding in the degenerate regime where
+    // that could reach NEGS (= -2^29; require < 2^28 for margin).
+    if (8 * (n + i64(N)) >= (i64(1) << 28)) banding = false;
     if (const char* e = std::getenv("SZ_POA_BAND"))
       if (std::atoi(e) == 0) banding = false;
 
@@ -519,6 +524,10 @@ struct Graph {
     i64 C = 0, n_ckpt = 0;
 
     auto run_pass = [&](int& best_r, i64& best_sc) -> bool {
+      // release both modes' buffers up front so an uncertified pass 1's
+      // storage never coexists with pass 2's (peak stays within budget)
+      std::vector<u8>().swap(dir);
+      std::vector<Score>().swap(checkpoints);
       i64 wsum = doff[n + 1];
       full_dir = wsum <= budget;
       C = 0;
