@@ -1,0 +1,105 @@
+"""Junction-kernel roofline: measured throughput vs its own sort bound.
+
+The BASELINE.md kernel-efficiency target asks for "junction k-mers/s/chip
+at speed-of-light".  The production kernel (graph/construct
+.junction_records_compact_v9) is three payload-carrying stable sorts over
+all positions plus O(n) elementwise/cummax passes, so its speed-of-light
+on a given chip is a small multiple of one bare sort's runtime.  This
+harness measures, entirely on device (no transfers):
+
+  * bare sort: jax.lax.sort over the class sort's exact operand shapes,
+  * full kernel: junction_records_compact_v9,
+
+and prints one JSON line with positions/s, both times, the kernel/sort
+ratio (~3 would mean the non-sort passes are free), and a simple
+HBM-stream model (sort passes x bytes / published v5e bandwidth).
+
+Usage: python benchmarks/kernel_roofline.py [log2_n] [k]   (default 24 15)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+HBM_GBPS = 819.0  # v5e published HBM bandwidth
+
+
+def best_time(fn, reps=5):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    log2_n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    n = 1 << log2_n
+
+    import jax
+    import jax.numpy as jnp
+
+    import sibeliaz_tpu  # noqa: F401
+    from sibeliaz_tpu.graph.construct import junction_records_compact_v9
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    codes = jax.device_put(
+        jnp.asarray(rng.integers(0, 4, size=n).astype(np.uint8)), dev
+    )
+    canon = jax.device_put(
+        jnp.asarray(rng.integers(0, 1 << 62, size=n)), dev
+    )
+    packed = jax.device_put(
+        jnp.asarray(rng.integers(0, 1 << 12, size=n).astype(np.int32)), dev
+    )
+    idx = jax.device_put(jnp.arange(n, dtype=jnp.int32), dev)
+
+    @jax.jit
+    def bare_sort(c, p, i):
+        return jax.lax.sort((c, p, i), num_keys=1, is_stable=True)
+
+    capacity = n // 3
+    kern = jax.jit(junction_records_compact_v9, static_argnums=(1, 2))
+
+    # warm (compile)
+    jax.block_until_ready(bare_sort(canon, packed, idx))
+    jax.block_until_ready(kern(codes, k, capacity))
+
+    t_sort = best_time(
+        lambda: jax.block_until_ready(bare_sort(canon, packed, idx))
+    )
+    t_kern = best_time(
+        lambda: jax.block_until_ready(kern(codes, k, capacity))
+    )
+
+    # HBM-stream model: a bitonic-style sort does ~log2(n)*(log2(n)+1)/2
+    # merge passes; each pass streams key+payload (8+4+8 B) read+write.
+    passes = log2_n * (log2_n + 1) / 2
+    model_sort_s = passes * n * 20 * 2 / (HBM_GBPS * 1e9)
+
+    print(
+        json.dumps(
+            {
+                "metric": "junction_kernel_roofline",
+                "platform": dev.platform,
+                "n_positions": n,
+                "k": k,
+                "kernel_s": round(t_kern, 4),
+                "bare_sort_s": round(t_sort, 4),
+                "kernel_over_sort": round(t_kern / t_sort, 2),
+                "positions_per_s": round(n / t_kern, 0),
+                "hbm_model_sort_s": round(model_sort_s, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -99,74 +99,26 @@ def junction_analysis(codes_u8: jnp.ndarray, k: int):
     Returns per-position arrays:
       is_junction_occ: bool — valid k-mer whose vertex is a junction
       positive:        bool — forward k-mer is canonical
-      first_idx:       int64 — global index of the vertex's first occurrence
+      first_idx:       int32 — global index of the vertex's first occurrence
                        (meaningful only where is_junction_occ)
+
+    Thin position-order view over the production class analysis (_v7_core:
+    payload-carrying sort + running-maximum broadcasts); one extra sort
+    brings the sorted-order results back to genome order.  This replaced
+    the original segment_max/segment_min formulation, whose nine segment
+    ops were ~10x the cost of the cummax broadcasts (see _v7_core notes).
     """
-    n = codes_u8.shape[0]
-    definite = codes_u8 != alphabet.BAD_CODE
-    codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
-
-    # k-mer validity: all k chars definite — windowed sum of the indicator.
-    defc = jnp.cumsum(definite.astype(jnp.int64))
-    defc = jnp.concatenate([jnp.zeros(1, jnp.int64), defc])
-    valid = (defc[k:] - defc[:-k]) == k  # length n-k+1
-    valid = jnp.concatenate([valid, jnp.zeros(k - 1, dtype=bool)])  # pad to n
-
-    fwd, rc = _doubling_codes(codes, k)
-    positive = fwd < rc
-    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
-
-    # Extension characters (canonical orientation). next char at p+k, prev at
-    # p-1; sentinel _NO_EXT when out of range / not definite.
-    nxt_ok = jnp.roll(definite, -k)
-    idx = jnp.arange(n)
-    nxt_ok = nxt_ok & (idx + k < n)
-    prv_ok = jnp.roll(definite, 1) & (idx >= 1)
-    nxt = jnp.where(nxt_ok, jnp.roll(codes, -k), _NO_EXT)
-    prv = jnp.where(prv_ok, jnp.roll(codes, 1), _NO_EXT)
-    comp_nxt = jnp.where(nxt_ok, 3 - jnp.roll(codes, -k), _NO_EXT)
-    comp_prv = jnp.where(prv_ok, 3 - jnp.roll(codes, 1), _NO_EXT)
-    right_ext = jnp.where(positive, nxt, comp_prv)
-    left_ext = jnp.where(positive, prv, comp_nxt)
-
-    # Run boundaries: first/last valid k-mer of a maximal run.
-    prev_valid = jnp.concatenate([jnp.zeros(1, dtype=bool), valid[:-1]])
-    next_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=bool)])
-    at_boundary = valid & (~prev_valid | ~next_valid)
-
-    # Group occurrences by canonical code; stable sort keeps first-occurrence
-    # (= genome) order inside each class.
-    perm = jnp.argsort(canon, stable=True)
-    canon_s = canon[perm]
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
+    junction_s, first_s, idx_s, packed_s, _ = _v7_core(codes_u8, k)
+    _, isj, first, pos_flag = jax.lax.sort(
+        (
+            idx_s,
+            junction_s,
+            first_s,
+            ((packed_s >> 11) & 1).astype(jnp.uint8),
+        ),
+        num_keys=1,
     )
-    seg_id = jnp.cumsum(seg_start.astype(jnp.int64)) - 1
-
-    def seg_max(x_sorted):
-        return jax.ops.segment_max(
-            x_sorted, seg_id, num_segments=n, indices_are_sorted=True
-        )
-
-    right_s = right_ext[perm]
-    left_s = left_ext[perm]
-    distinct_right = jnp.zeros(n, jnp.int32)
-    distinct_left = jnp.zeros(n, jnp.int32)
-    for c in range(4):
-        distinct_right += seg_max((right_s == c).astype(jnp.int32))
-        distinct_left += seg_max((left_s == c).astype(jnp.int32))
-    boundary_any = seg_max(at_boundary[perm].astype(jnp.int32)) > 0
-    junction_class = (distinct_right > 1) | (distinct_left > 1) | boundary_any
-
-    first_of_class = jax.ops.segment_min(
-        perm, seg_id, num_segments=n, indices_are_sorted=True
-    )
-
-    # Scatter class info back to genome order.
-    class_of_pos = jnp.zeros(n, jnp.int64).at[perm].set(seg_id)
-    is_junction_occ = valid & junction_class[class_of_pos]
-    first_idx = first_of_class[class_of_pos]
-    return is_junction_occ, positive, first_idx
+    return isj, pos_flag > 0, first
 
 
 def junction_analysis_packed(codes_u8: jnp.ndarray, k: int):
