@@ -154,14 +154,19 @@ def _round_bucket(canon, n_rounds: int):
     return h % jnp.int64(n_rounds)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _round_scan(codes_all, r, n_rounds: int, k: int, chunk: int,
-                n_chunks: int, cap: int):
+                n_chunks: int, cap: int, wide: bool = False):
     """One complete round on device: scan + bucket-filter + analyze +
-    compact.  Returns (n_junctions, packed [cap//3] int64, overflow)."""
+    compact.  Narrow mode (inputs < 2^31 positions) returns one int64 per
+    junction (gpos<<32 | first<<1 | orientation); wide mode (< 2^32
+    positions, e.g. mammal-scale multi-genome inputs) returns a uint64
+    (gpos<<32 | first) plus a uint8 orientation stream (9 B/junction),
+    with int64 position buffers throughout.
+    Returns (n_junctions, packed [cap//3], orient [cap//3], overflow)."""
     buf_canon = jnp.full(cap, _INVALID_CANON, jnp.int64)
     buf_packed = jnp.zeros(cap, jnp.int32)
-    buf_gpos = jnp.zeros(cap, jnp.int32)
+    buf_gpos = jnp.zeros(cap, jnp.int64 if wide else jnp.int32)
     win = 1 + chunk + k + 1
 
     def body(ci, carry):
@@ -174,7 +179,10 @@ def _round_scan(codes_all, r, n_rounds: int, k: int, chunk: int,
             _round_bucket(canon, n_rounds) == r
         )
         pk = packed | (positive.astype(jnp.int32) << 11)
-        gpos = start.astype(jnp.int32) + local
+        if wide:
+            gpos = start.astype(jnp.int64) + local.astype(jnp.int64)
+        else:
+            gpos = start.astype(jnp.int32) + local
         key = jnp.where(keep, local, jnp.int32(chunk))
         k2, c2, p2, g2 = jax.lax.sort(
             (key, canon, pk, gpos), num_keys=1
@@ -203,15 +211,24 @@ def _round_scan(codes_all, r, n_rounds: int, k: int, chunk: int,
     out_cap = cap // 3
     row = jnp.arange(cap, dtype=jnp.int32)
     key3 = jnp.where(isj, row, jnp.int32(cap))
-    packed_out = (
-        (buf_gpos.astype(jnp.int64) << 32)
-        | (first.astype(jnp.int64) << 1)
-        | ((buf_packed >> 11) & 1).astype(jnp.int64)
-    )
-    _, po = jax.lax.sort((key3, packed_out), num_keys=1)
+    orient = ((buf_packed >> 11) & 1).astype(jnp.uint8)
+    if wide:
+        packed_out = (
+            (buf_gpos.astype(jnp.uint64) << 32)
+            | first.astype(jnp.uint64)
+        )
+        _, po, oo = jax.lax.sort((key3, packed_out, orient), num_keys=1)
+    else:
+        packed_out = (
+            (buf_gpos.astype(jnp.int64) << 32)
+            | (first.astype(jnp.int64) << 1)
+            | orient.astype(jnp.int64)
+        )
+        _, po = jax.lax.sort((key3, packed_out), num_keys=1)
+        oo = jnp.zeros(cap, jnp.uint8)
     n_j = jnp.sum(isj.astype(jnp.int32))
     overflow = overflow | (n_j > out_cap)
-    return n_j, po[:out_cap], overflow
+    return n_j, po[:out_cap], oo[:out_cap], overflow
 
 
 def build_junctions_streamed_resident(
@@ -220,11 +237,13 @@ def build_junctions_streamed_resident(
     chunk_size: int = 1 << 22,
     n_rounds: int = 4,
     round_slack: float = 1.5,
+    force_wide: bool = False,
 ) -> List[JunctionChr]:
     """Bit-identical to construct.build_junctions; device memory is
     O(chunk + N/n_rounds) and host<->device traffic is one N-byte upload
-    plus 8 bytes per junction (vs ~21 B/position round-tripped by the
-    host-bucketed path)."""
+    plus 8 bytes per junction (9 in the wide >=2^31-position mode; vs
+    ~21 B/position round-tripped by the host-bucketed path).
+    `force_wide` exercises the wide payload on small inputs (tests)."""
     if not seqs:
         return []
     empty = [
@@ -241,7 +260,9 @@ def build_junctions_streamed_resident(
     if len(joined) < k + 2:
         return empty
     N = len(joined)
-    if N >= (1 << 31) - chunk_size:  # gpos must fit 31 bits for the pack
+    # narrow pack: gpos and first<<1 must fit 31 bits; wide pack: 32 bits
+    wide = force_wide or N >= (1 << 31) - chunk_size
+    if N >= (1 << 32) - chunk_size:
         return build_junctions_streamed(seqs, k, chunk_size, n_rounds)
     M = chunk_size
     n_chunks = -(-(N - 2) // M)
@@ -260,17 +281,21 @@ def build_junctions_streamed_resident(
         # round buffer at chromosome scale)
         cap = max(M, -(-per_round // M) * M)
         parts = []
+        oparts = []
         overflowed = False
         for r in range(n_rounds):
-            n_j, po, ovf = _round_scan(
-                codes_all, jnp.int64(r), n_rounds, k, M, n_chunks, cap
+            n_j, po, oo, ovf = _round_scan(
+                codes_all, jnp.int64(r), n_rounds, k, M, n_chunks, cap,
+                wide,
             )
             if bool(ovf):
                 overflowed = True
                 break
             n_j = int(n_j)
             if n_j:
-                parts.append(np.asarray(po[:n_j]).astype(np.int64))
+                parts.append(np.asarray(po[:n_j]))
+                if wide:
+                    oparts.append(np.asarray(oo[:n_j]))
         if not overflowed:
             break
         n_rounds *= 2  # skewed bucket or junction-dense input: re-round
@@ -278,9 +303,15 @@ def build_junctions_streamed_resident(
     if not parts:
         return empty
     packed = np.concatenate(parts)
-    gpos = packed >> 32
-    first = (packed >> 1) & 0x7FFFFFFF
-    positive = (packed & 1) > 0
+    if wide:
+        gpos = (packed >> np.uint64(32)).astype(np.int64)
+        first = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        positive = np.concatenate(oparts) > 0
+    else:
+        packed = packed.astype(np.int64)
+        gpos = packed >> 32
+        first = (packed >> 1) & 0x7FFFFFFF
+        positive = (packed & 1) > 0
     order = np.argsort(gpos, kind="stable")
     gpos, first, positive = gpos[order], first[order], positive[order]
     return split_chromosomes(gpos, assign_ids(first, positive), lengths)

@@ -81,6 +81,30 @@ def test_resident_rounds_bit_equal():
             assert np.array_equal(a.ids, b.ids)
 
 
+def test_resident_rounds_wide_payload_bit_equal():
+    """The wide (uint64 gpos<<32|first + orientation stream) payload used
+    for >=2^31-position inputs must match the monolithic kernel exactly;
+    force_wide exercises it at small scale."""
+    from sibeliaz_tpu.graph.streamed import build_junctions_streamed_resident
+
+    rng = np.random.default_rng(47)
+    base = alphabet.decode(rng.integers(0, 4, size=15000).astype(np.uint8))
+    mut = base.copy()
+    idx = np.flatnonzero(rng.random(len(mut)) < 0.01)
+    mut[idx] = alphabet.decode(
+        rng.integers(0, 4, size=len(idx)).astype(np.uint8)
+    )
+    seqs = [base, mut, alphabet.reverse_complement(base)[:7000]]
+    want = construct.build_junctions(seqs, 15)
+    for n_rounds in (1, 2):
+        got = build_junctions_streamed_resident(
+            seqs, 15, chunk_size=4096, n_rounds=n_rounds, force_wide=True
+        )
+        for a, b in zip(want, got):
+            assert np.array_equal(a.pos, b.pos)
+            assert np.array_equal(a.ids, b.ids)
+
+
 def test_resident_rounds_overflow_retry():
     """An undersized round budget (slack < 1) must overflow, double the
     round count, and still produce exact output."""
