@@ -26,6 +26,7 @@ stage (2) with (k-1)-halo exchange lives in sibeliaz_tpu/parallel.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -285,10 +286,9 @@ def junction_records_compact_v9(codes_u8: jnp.ndarray, k: int, capacity: int):
     return count, out_pos, out_id, pack, id_ovf
 
 
-def _v7_core(codes_u8: jnp.ndarray, k: int):
-    """Shared canon-sort + cummax class analysis (v7/v8).  Returns, in
-    canon-sorted row order: junction flag, class-first index (int32),
-    original index (int32), packed extension bits, class-start flag."""
+def _prepare_packed(codes_u8: jnp.ndarray, k: int):
+    """Shared front half of the class analysis: validity, canonical codes,
+    and the per-position packed extension bits, in genome order."""
     n = codes_u8.shape[0]
     definite = codes_u8 != alphabet.BAD_CODE
     codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
@@ -319,6 +319,16 @@ def _v7_core(codes_u8: jnp.ndarray, k: int):
         | (at_boundary.astype(jnp.int32) << 10)
         | (positive.astype(jnp.int32) << 11)
     )
+    return canon, packed, idx
+
+
+def _v7_core_cummax(codes_u8: jnp.ndarray, k: int):
+    """Cummax-broadcast class analysis (the v7-era formulation); kept for
+    A/B rooflining and as a fallback.  Returns, in canon-sorted row order:
+    junction flag, class-first index (int32), original index (int32),
+    packed extension bits, class-start flag."""
+    n = codes_u8.shape[0]
+    canon, packed, idx = _prepare_packed(codes_u8, k)
 
     canon_s, packed_s, idx_s = jax.lax.sort(
         (canon, packed, idx), num_keys=1, is_stable=True
@@ -360,6 +370,77 @@ def _v7_core(codes_u8: jnp.ndarray, k: int):
         % M
     ).astype(jnp.int32)
     return junction_s, first_s, idx_s, packed_s, seg_start
+
+
+def _popcount4(x: jnp.ndarray) -> jnp.ndarray:
+    """Number of set bits among the low 4 bits of x (int32)."""
+    return (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
+
+
+def _v7_core_scan(codes_u8: jnp.ndarray, k: int):
+    """Segmented-scan class analysis — the production core (v10).
+
+    The cummax formulation streams two [9, n] int64 running-maximum ladders
+    plus three packed int64 rank chains (~150 B/row of scan traffic).  But
+    the per-class facts we need are exactly a segmented bitwise OR of the
+    12-bit packed extension word: "class contains right-extension c" is one
+    bit of OR over the class's rows.  A segmented OR is associative, so it
+    is ONE `lax.associative_scan` over (flag: bool, bits: int32); the
+    class-first index rides the same scan as a copy-from-segment-start
+    lane; a second reversed scan spreads each class's total OR (available
+    at its end row) back to every member.  Scan traffic falls to ~9 B/row
+    forward + 5 B/row reversed, and all int64 scratch disappears.
+    Identical outputs to _v7_core_cummax (differential-tested).
+    """
+    canon, packed, idx = _prepare_packed(codes_u8, k)
+
+    canon_s, packed_s, idx_s = jax.lax.sort(
+        (canon, packed, idx), num_keys=1, is_stable=True
+    )
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
+    )
+
+    def fwd(a, b):
+        af, av, ai = a
+        bf, bv, bi = b
+        return (
+            af | bf,
+            jnp.where(bf, bv, av | bv),
+            jnp.where(bf, bi, ai),
+        )
+
+    _, cum_or, first_s = jax.lax.associative_scan(
+        fwd, (seg_start, packed_s, idx_s)
+    )
+
+    # Reversed copy-from-class-end: each class's end row holds its full OR.
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
+
+    def bwd(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, av)
+
+    _, class_or_r = jax.lax.associative_scan(
+        bwd, (seg_end[::-1], cum_or[::-1])
+    )
+    class_or = class_or_r[::-1]
+
+    distinct_r = _popcount4(class_or)
+    distinct_l = _popcount4(class_or >> 5)
+    boundary_any = ((class_or >> 10) & 1) > 0
+    junction_s = (
+        (distinct_r > 1) | (distinct_l > 1) | boundary_any
+    ) & (canon_s != _INVALID_CANON)
+    return junction_s, first_s, idx_s, packed_s, seg_start
+
+
+_v7_core = (
+    _v7_core_cummax
+    if os.environ.get("SZ_JUNCTION_CORE", "scan") == "cummax"
+    else _v7_core_scan
+)
 
 
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
