@@ -10,6 +10,17 @@ Baseline anchor: the reference documents its 2-genome, ~12 Mbp example at
 throughput divided by that anchor.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Cold-cache safety (the round-1 failure mode): a cold XLA compile of the
+junction kernel through this environment's tunneled toolchain can take
+minutes, so this script (a) normalizes the env vars that feed the
+persistent-compile-cache key BEFORE importing jax, so cache entries written
+in one process are hit by the next regardless of how the caller set
+XLA_FLAGS, (b) compiles exactly one kernel shape, (c) emits stderr progress
+immediately, and (d) prints the JSON line as soon as a measured pass exists,
+only adding a second warm pass if there is wall-clock budget left.
+Run `bench.py --selftest` for the on-chip correctness lane (device kernels
+asserted against host oracles on the real TPU).
 """
 
 import json
@@ -17,13 +28,42 @@ import os
 import sys
 import time
 
-import numpy as np
+# --- env normalization: MUST precede any jax import ----------------------
+# XLA_FLAGS participates in the persistent-compile-cache key; a driver that
+# sets e.g. --xla_force_host_platform_device_count (the multichip-dryrun
+# flag) would silently invalidate every cached entry — strip that flag but
+# keep any others.  JAX_PLATFORMS=cpu (test-harness residue) would route the
+# bench off the TPU entirely.
+_xf = os.environ.get("XLA_FLAGS")
+if _xf and "xla_force_host_platform_device_count" in _xf:
+    _kept = [
+        f for f in _xf.split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    if _kept:
+        os.environ["XLA_FLAGS"] = " ".join(_kept)
+    else:
+        os.environ.pop("XLA_FLAGS", None)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    os.environ.pop("JAX_PLATFORMS", None)
+
+import numpy as np  # noqa: E402
 
 BASELINE_MBPS = 12.0 / 300.0  # reference example anchor
 
 N_STRAINS = 16
 STRAIN_LEN = 1_000_000
 K = 15
+
+# Print the JSON line by this wall-clock deadline even if only a
+# cold-compile-inflated pass exists.  The round-1 driver killed bench.py at
+# 600 s with nothing printed; stay far inside that.
+DEADLINE_S = float(os.environ.get("SIBELIAZ_BENCH_DEADLINE", "420"))
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def make_input():
@@ -45,47 +85,30 @@ def make_input():
     return seqs, names
 
 
-def main():
-    import sibeliaz_tpu  # noqa: F401
-    from sibeliaz_tpu.config import Config
-    from sibeliaz_tpu.graph import construct
-    from sibeliaz_tpu import pipeline
+def run_pass(seqs, names, cfg, pipeline, construct, engine):
+    t0 = time.time()
+    records = construct.build_junctions(seqs, K)
+    t_graph = time.time()
+    res = pipeline.find_blocks(seqs, names, cfg, records=records, engine=engine)
+    t_end = time.time()
+    return {
+        "total": t_end - t0,
+        "graph": t_graph - t0,
+        "lcb": t_end - t_graph,
+        "records": records,
+        "res": res,
+    }
 
-    seqs, names = make_input()
-    total_mbp = sum(len(s) for s in seqs) / 1e6
-    threads = min(os.cpu_count() or 1, 32)
-    cfg = Config(k=K, threads=threads)
 
-    # Warm-up: compile the junction kernel on the exact benchmark shape
-    # bucket and warm the native-engine build; not counted (steady-state
-    # throughput is the metric; compilation is cached across runs).
-    construct.build_junctions(seqs, K)
-    _ = pipeline.find_blocks(seqs[:2], names[:2], cfg, engine="native")
-
-    # Best of two measured passes: the shared 2-vCPU host shows +-2x
-    # run-to-run noise on the LCB (host) side; steady-state throughput is
-    # the metric, and both passes do identical work.
-    best = None
-    for _ in range(2):
-        t0 = time.time()
-        records = construct.build_junctions(seqs, K)
-        t_graph = time.time()
-        res = pipeline.find_blocks(
-            seqs, names, cfg, records=records, engine="native"
-        )
-        t_end = time.time()
-        if best is None or t_end - t0 < best[0]:
-            best = (t_end - t0, t_graph - t0, t_end - t_graph, records, res)
-    elapsed, g_s, l_s, records, res = best
-    mbps = total_mbp / elapsed
-    n_junctions = sum(len(r.pos) for r in records)
-    print(
-        f"[bench] input {total_mbp:.1f} Mbp | graph {g_s:.2f}s | "
-        f"lcb+out {l_s:.2f}s | total {elapsed:.2f}s | "
-        f"blocks {res.blocks_found} | coverage {res.coverage:.3f} | "
-        f"junction kmers/s: {total_mbp * 1e6 / g_s:.2e} | "
-        f"junctions: {n_junctions}",
-        file=sys.stderr,
+def emit(p, total_mbp):
+    mbps = total_mbp / p["total"]
+    n_junctions = sum(len(r.pos) for r in p["records"])
+    log(
+        f"input {total_mbp:.1f} Mbp | graph {p['graph']:.2f}s | "
+        f"lcb+out {p['lcb']:.2f}s | total {p['total']:.2f}s | "
+        f"blocks {p['res'].blocks_found} | coverage {p['res'].coverage:.3f} | "
+        f"junction kmers/s: {total_mbp * 1e6 / p['graph']:.2e} | "
+        f"junctions: {n_junctions}"
     )
     print(
         json.dumps(
@@ -95,9 +118,152 @@ def main():
                 "unit": "input_mbp_per_s",
                 "vs_baseline": round(mbps / BASELINE_MBPS, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 
+def main():
+    log("importing jax / sibeliaz_tpu")
+    import sibeliaz_tpu  # noqa: F401
+    import jax
+
+    from sibeliaz_tpu.config import Config
+    from sibeliaz_tpu.graph import construct
+    from sibeliaz_tpu import pipeline
+
+    log(f"devices: {jax.devices()}")
+    engine = os.environ.get("SIBELIAZ_BENCH_ENGINE", "native")
+    seqs, names = make_input()
+    total_mbp = sum(len(s) for s in seqs) / 1e6
+    threads = min(os.cpu_count() or 1, 32)
+    cfg = Config(k=K, threads=threads)
+    log(f"input built: {total_mbp:.1f} Mbp, engine={engine}, threads={threads}")
+
+    # Prebuild the native LCB engine (g++, disk-cached) so its one-time cost
+    # never lands inside a measured pass.
+    if engine == "native":
+        from sibeliaz_tpu.lcb.engine import ensure_built
+
+        ensure_built()
+        log("native engine built")
+
+    # Pass 1: on a warm persistent cache this is steady-state; on a cold
+    # cache it absorbs the one big XLA compile (junction kernel at the
+    # single bench bucket shape).
+    log("pass 1 (includes any cold compile) ...")
+    p1 = run_pass(seqs, names, cfg, pipeline, construct, engine)
+    log(f"pass 1 done: {p1['total']:.2f}s (graph {p1['graph']:.2f}s)")
+
+    best = p1
+    # Add warm passes only while there is budget: each warm pass costs about
+    # the post-compile work of pass 1 (bounded by p1 total).
+    n_extra = 0
+    while n_extra < 2:
+        elapsed = time.time() - T0
+        # a warm pass can't take longer than the last measured pass; leave
+        # 1.5x headroom plus 10s slack before the deadline
+        if elapsed + 1.5 * best["total"] + 10 > DEADLINE_S:
+            break
+        p = run_pass(seqs, names, cfg, pipeline, construct, engine)
+        log(f"warm pass done: {p['total']:.2f}s (graph {p['graph']:.2f}s)")
+        if p["total"] < best["total"]:
+            best = p
+        n_extra += 1
+
+    emit(best, total_mbp)
+
+
+def selftest():
+    """On-chip correctness lane: run device kernels on the REAL TPU and
+    assert equality against host oracles.  Artifact: SELFTEST.json."""
+    log("selftest: importing")
+    import sibeliaz_tpu  # noqa: F401
+    import jax
+
+    results = {"platform": str(jax.devices()[0].platform), "checks": {}}
+    ok = True
+
+    from sibeliaz_tpu.core import alphabet
+    from sibeliaz_tpu.graph import construct
+    from sibeliaz_tpu.graph.oracle import enumerate_junctions
+
+    rng = np.random.default_rng(11)
+    base = alphabet.decode(rng.integers(0, 4, size=120_000).astype(np.uint8))
+    mut = base.copy()
+    for p in np.flatnonzero(rng.random(len(mut)) < 0.01):
+        mut[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+    seqs = [base, mut]
+    k = 15
+
+    t0 = time.time()
+    recs = construct.build_junctions(seqs, k)
+    want = enumerate_junctions(seqs, k)
+    match = all(
+        np.array_equal(a.pos, b.pos) and np.array_equal(a.ids, b.ids)
+        for a, b in zip(recs, want)
+    )
+    results["checks"]["junction_kernel_vs_bruteforce"] = bool(match)
+    ok &= match
+    log(f"junction kernel vs brute force: {match} ({time.time() - t0:.1f}s)")
+
+    # Fused LCB phase vs host oracle on-chip
+    from sibeliaz_tpu.config import Config
+    from sibeliaz_tpu.junctions.table import JunctionTable
+    from sibeliaz_tpu.lcb.fused import process_phase_fused
+    from sibeliaz_tpu.lcb.oracle import LcbEngine
+
+    cfg = Config(k=k)
+    table = JunctionTable.build(
+        recs, seqs, ["g0", "g1"], k, cfg.abundance_threshold
+    )
+    eng = LcbEngine(table, cfg.min_block_size, cfg.max_branch_size, cfg.flanking)
+    bundles = eng.make_bundles()[:24]
+    t0 = time.time()
+    got = process_phase_fused(eng, bundles)
+    lcb_match = True
+    for i, bundle in enumerate(bundles):
+        expect = eng.process(bundle)
+        g = [(x.c, x.s, x.fi, x.bi) for x in got[i]]
+        e = [(x.c, x.s, x.fi, x.bi) for x in expect]
+        if g != e:
+            lcb_match = False
+            break
+    results["checks"]["fused_lcb_phase_vs_oracle"] = bool(lcb_match)
+    ok &= lcb_match
+    log(f"fused LCB phase vs oracle: {lcb_match} ({time.time() - t0:.1f}s)")
+
+    # Device POA vs host reference on one block
+    try:
+        from sibeliaz_tpu.align import poa_ref, tpu_poa
+
+        rows = []
+        src = alphabet.decode(rng.integers(0, 4, size=400).astype(np.uint8))
+        for _ in range(4):
+            r = src.copy()
+            for p in np.flatnonzero(rng.random(len(r)) < 0.03):
+                r[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+            rows.append(r)
+        t0 = time.time()
+        want = poa_ref.poa_msa(rows)
+        got = tpu_poa.poa_msa_batch_tpu([rows])[0]
+        poa_match = got is not None and want == got
+        results["checks"]["device_poa_vs_host"] = bool(poa_match)
+        ok &= poa_match
+        log(f"device POA vs host: {poa_match} ({time.time() - t0:.1f}s)")
+    except Exception as e:  # pragma: no cover
+        results["checks"]["device_poa_vs_host"] = f"error: {e}"
+        ok = False
+        log(f"device POA errored: {e}")
+
+    results["ok"] = bool(ok)
+    with open(os.path.join(os.path.dirname(__file__), "SELFTEST.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
+    if "--selftest" in sys.argv[1:]:
+        sys.exit(selftest())
     main()

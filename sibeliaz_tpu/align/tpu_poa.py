@@ -217,6 +217,7 @@ HBM_BUDGET = 6 << 30  # bytes of device scratch per dispatch (H + dirs)
 def poa_msa_batch_tpu(
     blocks_seqs: Sequence[Sequence[np.ndarray]],
     node_budget_factor: float = 1.75,
+    mesh=None,
 ) -> List[Optional[List[bytes]]]:
     """MSA per block computed with the device DP; None for blocks that fell
     back (caller should route those to the native engine).
@@ -240,7 +241,7 @@ def poa_msa_batch_tpu(
         # to a power of two, which must never exceed the memory budget
         b_cap = max(1, int(HBM_BUDGET // per_block))
         b_cap = 1 << (b_cap.bit_length() - 1)
-        _run_bucket(all_states, members, L, n_max, b_cap)
+        _run_bucket(all_states, members, L, n_max, b_cap, mesh=mesh)
     out: List[Optional[List[bytes]]] = []
     for st in all_states:
         out.append(None if st.fallback else st.graph.msa())
@@ -248,8 +249,12 @@ def poa_msa_batch_tpu(
 
 
 def _run_bucket(states: List[_BlockState], members: List[int], L: int,
-                n_max: int, b_cap: int) -> None:
-    """Drive one (L, n_max) bucket's blocks to completion."""
+                n_max: int, b_cap: int, mesh=None) -> None:
+    """Drive one (L, n_max) bucket's blocks to completion.
+
+    With a mesh, the batch (block) axis is sharded over the mesh's first
+    axis — blocks are independent, so GSPMD partitions the whole fused
+    DP+traceback with no cross-device communication."""
     while any(not states[b].done for b in members):
         active = [b for b in members if not states[b].done][:b_cap]
         arrs = []
@@ -265,6 +270,8 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
         # pad the batch to a power of two so jit compilations are reused
         B = len(arrs)
         B_pad = 1 << (B - 1).bit_length()
+        if mesh is not None:  # batch axis must split evenly over devices
+            B_pad = -(-max(B_pad, mesh.size) // mesh.size) * mesh.size
         seq_b = np.zeros((B_pad, L), dtype=np.uint8)
         len_b = np.zeros(B_pad, dtype=np.int32)
         char_b = np.zeros((B_pad, n_max), dtype=np.uint8)
@@ -281,9 +288,20 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
             po_b[j] = po
             sink_b[j] = sk
         P = L + n_max + 2
+        if mesh is None:
+            dev = jnp.asarray
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+            ax = mesh.axis_names[0]
+
+            def dev(x):
+                spec = PSpec(ax, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
         out_r, out_i, tcount = _dp_tb_batch(
-            jnp.asarray(seq_b), jnp.asarray(len_b), jnp.asarray(char_b),
-            jnp.asarray(pi_b), jnp.asarray(po_b), jnp.asarray(sink_b),
+            dev(seq_b), dev(len_b), dev(char_b),
+            dev(pi_b), dev(po_b), dev(sink_b),
             n_max, P,
         )
         out_r = np.asarray(out_r)

@@ -23,6 +23,11 @@ _SRC = os.path.join(os.path.dirname(__file__), "native", "engine.cpp")
 _lib = None
 
 
+def ensure_built():
+    """Build (or load the disk-cached) native engine; idempotent."""
+    _load()
+
+
 def _load():
     global _lib
     if _lib is not None:

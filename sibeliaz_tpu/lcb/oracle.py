@@ -611,13 +611,15 @@ class LcbEngine:
                 self.mark_used(it)
                 it = self.nxt(it)
 
-    def run(self, process_batch_fn=None) -> List[Block]:
+    def run(self, process_batch_fn=None, phase_size: int = 256) -> List[Block]:
         """Full phase/commit protocol.  `process_batch_fn(eng, bundles)` may
         replace the per-bundle exploration (e.g. the resident device engine,
         lcb/resident.py); the serial validate/commit loop — which defines the
-        deterministic result — always runs here."""
+        deterministic result — always runs here.  `phase_size` is the
+        speculation window (reference: 256, blocksfinder.h:519); tests and
+        the multi-chip dryrun shrink it to exercise the cross-phase commit
+        protocol on tiny inputs."""
         bundles = self.make_bundles()
-        phase_size = 256
         phase = 0
         while phase < len(bundles):
             limit = min(phase + phase_size, len(bundles))
