@@ -43,8 +43,11 @@ class Config:
     def __post_init__(self) -> None:
         if self.k % 2 == 0:
             raise ValueError("k must be odd")
-        if self.k < 3 or self.k > 31:
-            raise ValueError("k must be in [3, 31]")
+        if self.k < 3 or self.k > 61:
+            # k <= 31: one int64 2-bit code word; 33..61: two-limb codes
+            # (graph/construct.py _doubling_codes2).  The reference driver
+            # passes any odd k through to TwoPaCo (sibeliaz:145).
+            raise ValueError("k must be in [3, 61]")
 
     @property
     def flanking(self) -> int:

@@ -94,6 +94,59 @@ def _doubling_codes(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarra
     return fwd, rc
 
 
+_LIMB_BITS = 62
+_LIMB_MASK = (1 << _LIMB_BITS) - 1
+
+
+def _shl2(hi: jnp.ndarray, lo: jnp.ndarray, s: int):
+    """(hi, lo) << s over base-2^62 limbs.  For s >= 62 the caller's value
+    must be single-limb (hi == 0) — true everywhere in the doubling scheme:
+    only small trailing blocks are shifted that far."""
+    if s == 0:
+        return hi, lo
+    if s >= _LIMB_BITS:
+        return lo << (s - _LIMB_BITS), jnp.zeros_like(lo)
+    return (hi << s) | (lo >> (_LIMB_BITS - s)), (lo << s) & _LIMB_MASK
+
+
+def _doubling_codes2(codes: jnp.ndarray, k: int):
+    """Two-limb variant of _doubling_codes for 31 < k <= 61 (2k bits no
+    longer fit one int64).  Window values are (hi, lo) base-2^62 pairs; the
+    bit ranges combined by every add are disjoint per limb, so limb adds
+    never carry.  Returns (fwd_hi, fwd_lo, rc_hi, rc_lo)."""
+    z = jnp.zeros_like(codes)
+    fs = {1: (z, codes)}
+    rs = {1: (z, 3 - codes)}
+    m = 1
+    while m * 2 <= k:
+        fh, fl = fs[m]
+        rh, rl = rs[m]
+        sfh, sfl = jnp.roll(fh, -m), jnp.roll(fl, -m)
+        srh, srl = jnp.roll(rh, -m), jnp.roll(rl, -m)
+        ah, al = _shl2(fh, fl, 2 * m)
+        fs[2 * m] = (ah + sfh, al + sfl)
+        bh, bl = _shl2(srh, srl, 2 * m)
+        rs[2 * m] = (rh + bh, rl + bl)
+        m *= 2
+    fwd = rc = None
+    consumed = 0
+    for bit in reversed(range(k.bit_length())):
+        m = 1 << bit
+        if not (k & m):
+            continue
+        fh, fl = (jnp.roll(x, -consumed) for x in fs[m])
+        rh, rl = (jnp.roll(x, -consumed) for x in rs[m])
+        if fwd is None:
+            fwd, rc = (fh, fl), (rh, rl)
+        else:
+            ah, al = _shl2(*fwd, 2 * m)
+            fwd = (ah + fh, al + fl)
+            bh, bl = _shl2(rh, rl, 2 * consumed)
+            rc = (rc[0] + bh, rc[1] + bl)
+        consumed += m
+    return fwd[0], fwd[1], rc[0], rc[1]
+
+
 def junction_analysis(codes_u8: jnp.ndarray, k: int):
     """Fixed-shape junction analysis over a separator-joined code array.
 
@@ -288,15 +341,29 @@ def junction_records_compact_v9(codes_u8: jnp.ndarray, k: int, capacity: int):
 
 def _prepare_packed(codes_u8: jnp.ndarray, k: int):
     """Shared front half of the class analysis: validity, canonical codes,
-    and the per-position packed extension bits, in genome order."""
+    and the per-position packed extension bits, in genome order.
+
+    Returns (canon_keys, packed, idx) where canon_keys is a tuple of int64
+    sort keys identifying the canonical k-mer class: one limb for k <= 31,
+    two base-2^62 limbs for 31 < k <= 61 (lexicographic over the tuple)."""
     n = codes_u8.shape[0]
     definite = codes_u8 != alphabet.BAD_CODE
     codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
     valid = _windowed_all(definite, k)
 
-    fwd, rc = _doubling_codes(codes, k)
-    positive = fwd < rc
-    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
+    if k <= 31:
+        fwd, rc = _doubling_codes(codes, k)
+        positive = fwd < rc
+        keys = (jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON),)
+    else:
+        fh, fl, rh, rl = _doubling_codes2(codes, k)
+        positive = (fh < rh) | ((fh == rh) & (fl < rl))
+        ch = jnp.where(positive, fh, rh)
+        cl = jnp.where(positive, fl, rl)
+        keys = (
+            jnp.where(valid, ch, _INVALID_CANON),
+            jnp.where(valid, cl, jnp.int64(0)),
+        )
 
     idx = jnp.arange(n, dtype=jnp.int32)
     nxt_ok = jnp.roll(definite, -k) & (idx + k < n)
@@ -319,7 +386,7 @@ def _prepare_packed(codes_u8: jnp.ndarray, k: int):
         | (at_boundary.astype(jnp.int32) << 10)
         | (positive.astype(jnp.int32) << 11)
     )
-    return canon, packed, idx
+    return keys, packed, idx
 
 
 def _v7_core_cummax(codes_u8: jnp.ndarray, k: int):
@@ -328,14 +395,17 @@ def _v7_core_cummax(codes_u8: jnp.ndarray, k: int):
     junction flag, class-first index (int32), original index (int32),
     packed extension bits, class-start flag."""
     n = codes_u8.shape[0]
-    canon, packed, idx = _prepare_packed(codes_u8, k)
+    keys, packed, idx = _prepare_packed(codes_u8, k)
 
-    canon_s, packed_s, idx_s = jax.lax.sort(
-        (canon, packed, idx), num_keys=1, is_stable=True
+    *keys_s, packed_s, idx_s = jax.lax.sort(
+        (*keys, packed, idx), num_keys=len(keys), is_stable=True
     )
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
-    )
+    seg_start = jnp.zeros(n, dtype=bool).at[0].set(True)
+    for ks in keys_s:
+        seg_start = seg_start | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), ks[1:] != ks[:-1]]
+        )
+    invalid_s = keys_s[0] == _INVALID_CANON
     seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
     rank = jnp.arange(n, dtype=jnp.int64)
     start_rank = jax.lax.cummax(jnp.where(seg_start, rank, -1))
@@ -362,7 +432,7 @@ def _v7_core_cummax(codes_u8: jnp.ndarray, k: int):
     boundary_any = has[8]
     junction_s = (
         (distinct_r > 1) | (distinct_l > 1) | boundary_any
-    ) & (canon_s != _INVALID_CANON)
+    ) & ~invalid_s
     first_s = (
         jax.lax.cummax(
             jnp.where(seg_start, rank * M + idx_s.astype(jnp.int64), -1)
@@ -392,14 +462,17 @@ def _v7_core_scan(codes_u8: jnp.ndarray, k: int):
     forward + 5 B/row reversed, and all int64 scratch disappears.
     Identical outputs to _v7_core_cummax (differential-tested).
     """
-    canon, packed, idx = _prepare_packed(codes_u8, k)
+    keys, packed, idx = _prepare_packed(codes_u8, k)
 
-    canon_s, packed_s, idx_s = jax.lax.sort(
-        (canon, packed, idx), num_keys=1, is_stable=True
+    *keys_s, packed_s, idx_s = jax.lax.sort(
+        (*keys, packed, idx), num_keys=len(keys), is_stable=True
     )
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
-    )
+    seg_start = jnp.zeros(packed_s.shape[0], dtype=bool).at[0].set(True)
+    for ks in keys_s:
+        seg_start = seg_start | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), ks[1:] != ks[:-1]]
+        )
+    invalid_s = keys_s[0] == _INVALID_CANON
 
     def fwd(a, b):
         af, av, ai = a
@@ -432,7 +505,7 @@ def _v7_core_scan(codes_u8: jnp.ndarray, k: int):
     boundary_any = ((class_or >> 10) & 1) > 0
     junction_s = (
         (distinct_r > 1) | (distinct_l > 1) | boundary_any
-    ) & (canon_s != _INVALID_CANON)
+    ) & ~invalid_s
     return junction_s, first_s, idx_s, packed_s, seg_start
 
 
@@ -495,6 +568,13 @@ def build_junctions(
     bucket = max(4096, 1 << (len(joined) - 1).bit_length())
     budget = hbm_budget_bytes or DEFAULT_HBM_BUDGET
     if bucket * MONOLITHIC_PEAK_BYTES_PER_POS > budget:
+        if k > 31:
+            raise NotImplementedError(
+                f"k={k} > 31 uses two-limb k-mer codes, which the "
+                f"memory-bounded streamed path does not carry yet; this "
+                f"input ({len(joined)} positions) exceeds the monolithic "
+                f"kernel's HBM budget. Use k <= 31 for inputs this large."
+            )
         from sibeliaz_tpu.graph import streamed
 
         n_rounds = max(

@@ -244,6 +244,11 @@ def build_junctions_streamed_resident(
     plus 8 bytes per junction (9 in the wide >=2^31-position mode; vs
     ~21 B/position round-tripped by the host-bucketed path).
     `force_wide` exercises the wide payload on small inputs (tests)."""
+    if k > 31:
+        raise NotImplementedError(
+            "k > 31 (two-limb k-mer codes) is only carried by the "
+            "monolithic kernel (graph.construct.build_junctions)"
+        )
     if not seqs:
         return []
     empty = [
@@ -324,6 +329,11 @@ def build_junctions_streamed(
     n_rounds: int = 4,
 ) -> List[JunctionChr]:
     """Bit-identical to construct.build_junctions with bounded device memory."""
+    if k > 31:
+        raise NotImplementedError(
+            "k > 31 (two-limb k-mer codes) is only carried by the "
+            "monolithic kernel (graph.construct.build_junctions)"
+        )
     if not seqs:
         return []
     empty = [

@@ -240,6 +240,11 @@ def build_junctions_sharded(
     seqs: Sequence[np.ndarray], k: int, devices=None
 ) -> List[JunctionChr]:
     """Multi-device equivalent of graph.construct.build_junctions."""
+    if k > 31:
+        raise NotImplementedError(
+            "k > 31 (two-limb k-mer codes) is only carried by the "
+            "monolithic kernel (graph.construct.build_junctions)"
+        )
     if devices is None:
         devices = jax.devices()
     n_dev = len(devices)

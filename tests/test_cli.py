@@ -102,3 +102,19 @@ def test_cli_tpu_fused_lcb_engine(tmp_path):
     assert (out_n / "blocks_coords.gff").read_text() == (
         out_f / "blocks_coords.gff"
     ).read_text()
+
+
+def test_cli_wide_k_cross_engine(tmp_path):
+    """k=33 (two-limb k-mer codes) end-to-end: the full -n pipeline runs
+    and the native and oracle LCB engines agree byte-for-byte, exercising
+    the -strand pos+k coordinate rule at a wide k."""
+    seqs, names = random_related_genomes(52, length=2500, mut=0.02)
+    fa = write_inputs(tmp_path, seqs, names)
+    gffs = []
+    for eng in ("native", "oracle"):
+        out = tmp_path / f"out_{eng}"
+        rc = run(["-k", "33", "-n", "-o", str(out), "--lcb-engine", eng, fa])
+        assert rc == 0
+        gffs.append((out / "blocks_coords.gff").read_text())
+    assert gffs[0] == gffs[1]
+    assert "SO:0000856" in gffs[0]

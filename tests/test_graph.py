@@ -196,3 +196,56 @@ def test_delta_escape_path_many_moderate_gaps():
     got = construct.build_junctions(seqs, 15)
     want = oracle.enumerate_junctions(seqs, 15)
     assert_same(want, got)
+
+
+class TestWideK:
+    """31 < k <= 61: two-limb canonical codes (construct._doubling_codes2).
+
+    The reference driver passes any odd k through to TwoPaCo (sibeliaz:145,
+    sibeliaz.cpp:13-35 enforces odd only); one int64 2-bit code word caps a
+    single-limb design at k=31, so wider k sorts on two base-2^62 limbs."""
+
+    def _pair(self, seed=3, n=12000):
+        rng = np.random.default_rng(seed)
+        base = alphabet.decode(rng.integers(0, 4, size=n).astype(np.uint8))
+        mut = base.copy()
+        for p in np.flatnonzero(rng.random(len(mut)) < 0.02):
+            mut[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+        mut[2000:3000] = alphabet.reverse_complement(mut[2000:3000])
+        base[100:130] = ord("N")
+        return [base, mut]
+
+    @pytest.mark.parametrize("k", [33, 45, 61])
+    def test_wide_k_vs_bruteforce(self, k):
+        seqs = self._pair()
+        got = construct.build_junctions(seqs, k)
+        want = oracle.enumerate_junctions(seqs, k)
+        assert_same(want, got)
+
+    def test_limb_boundary_parity(self):
+        """k=31 (last single-limb) and k=33 (first two-limb) on the same
+        input both match the oracle — the limb split introduces no edge
+        artifacts at the format boundary."""
+        seqs = self._pair(seed=9, n=6000)
+        for k in (31, 33):
+            assert_same(
+                oracle.enumerate_junctions(seqs, k),
+                construct.build_junctions(seqs, k),
+            )
+
+    def test_streamed_and_sharded_reject_wide_k(self):
+        from sibeliaz_tpu.graph import streamed
+
+        seqs = self._pair(seed=4, n=4000)
+        with pytest.raises(NotImplementedError):
+            streamed.build_junctions_streamed_resident(seqs, 33)
+
+    def test_config_accepts_wide_odd_k(self):
+        from sibeliaz_tpu.config import Config
+
+        assert Config(k=33).k == 33
+        assert Config(k=61).k == 61
+        with pytest.raises(ValueError):
+            Config(k=63)
+        with pytest.raises(ValueError):
+            Config(k=34)
