@@ -3,18 +3,40 @@
 The reference pipeline recommends `sibeliaz -n` followed by the external
 `maf2synteny` tool to merge fine-grained LCBs into large-scale synteny
 blocks (README.md:96-112; the tool is a pinned submodule, not mounted —
-CMakeLists.txt:14-15).  This module re-designs that capability:
+CMakeLists.txt:14-15).  This module re-designs that capability after the
+published algorithm (Sibelia: Minkin et al., WABI 2013 — iterative
+A-Bruijn/breakpoint-graph simplification):
 
-  * genomes become signed permutations of LCB ids,
-  * a staged simplification repeatedly (a) deletes blocks shorter than the
-    stage's noise threshold from the permutations, then (b) chains pairs
-    (a, b) that are adjacent with consistent orientation in *every*
-    occurrence and separated by at most the stage's gap bound — the path
-    compression step of A-Bruijn graph simplification,
-  * surviving chains with >= 2 occurrences become synteny blocks; one
-    output set is produced per requested minimum block size, in Sibelia's
-    output formats (blocks_coords.txt, genomes_permutations.txt,
-    coverage_report.txt) for downstream compatibility.
+  * genomes become signed permutations of LCB ids (block occurrences in
+    sequence order; orientation = id sign),
+  * simplification runs in STAGES of increasing scale, each parameterized
+    by a (min_block, max_gap) pair; within a stage, blocks shorter than
+    min_block are noise (removed from the permutations), then two graph
+    rewrites alternate to a FIXPOINT:
+      - path compression: pairs (a, b) adjacent with consistent
+        orientation in *every* occurrence and separated by at most
+        max_gap bp everywhere merge into one block, and
+      - bulge removal: where two block anchors (u, v) are connected by
+        parallel branches — some occurrences direct, others through a
+        short run of blocks spanning <= max_gap bp — the minority
+        branches' interior occurrences are deleted, so the detour
+        collapses onto the main path and compression can proceed (this is
+        the "bulge" simplification of the A-Bruijn graph; the interval of
+        a removed detour is absorbed by the merged block's span),
+  * surviving blocks with >= 2 occurrences and length >= the requested
+    output scale become synteny blocks; one output set is produced per
+    requested minimum block size, in Sibelia's output formats
+    (blocks_coords.txt, genomes_permutations.txt, coverage_report.txt)
+    for downstream compatibility.
+
+Parameter provenance: maf2synteny's `-s` takes a parameter file of
+"<min_block> <max_gap>" lines; its built-in fine schedule is
+(30,10) (100,100) (500,1000) (1000,5000) (5000,15000), with a loose
+schedule extending to (10000,50000) (50000,500000) for mammalian-scale
+merging.  The exact constants could not be byte-verified here (the
+submodule is unmounted and this environment has no network); they follow
+the published multi-scale schedule shape and are overridable via `-s
+<file>`.
 """
 
 from __future__ import annotations
@@ -25,19 +47,23 @@ from typing import Dict, List, Sequence, Tuple
 
 from sibeliaz_tpu.postprocess.maf import parse_maf
 
-# Simplification schedules mirroring maf2synteny's documented "-s" presets'
-# intent: progressively larger bubble/gap bounds with noise thresholds.
-# Each stage is (max_gap, min_noise).
-DEFAULT_STAGES = [(30, 10), (100, 100), (500, 1000), (1500, 5000), (5000, 15000)]
-FINE_STAGES = DEFAULT_STAGES[:3]
+# Each stage is (min_block, max_gap): blocks < min_block are stage noise;
+# compression/bulge branches are bounded by max_gap bp.
+FINE_STAGES = [
+    (30, 10), (100, 100), (500, 1000), (1000, 5000), (5000, 15000)
+]
+LOOSE_STAGES = FINE_STAGES + [(10000, 50000), (50000, 500000)]
+DEFAULT_STAGES = FINE_STAGES
+# How many interior blocks a bulge branch may contain.
+_MAX_BRANCH_BLOCKS = 2
 
 
 def parse_stages(spec: str) -> List[Tuple[int, int]]:
-    """Resolve a -s argument: 'loose' (default schedule), 'fine', or a path
-    to a parameter file with one '<max_gap> <min_noise>' pair per line
-    (blank lines and '#' comments ignored)."""
+    """Resolve a -s argument: 'fine' (default), 'loose', or a path to a
+    parameter file with one '<min_block> <max_gap>' pair per line (blank
+    lines and '#' comments ignored)."""
     if spec == "loose":
-        return list(DEFAULT_STAGES)
+        return list(LOOSE_STAGES)
     if spec == "fine":
         return list(FINE_STAGES)
     stages: List[Tuple[int, int]] = []
@@ -51,7 +77,7 @@ def parse_stages(spec: str) -> List[Tuple[int, int]]:
                 p.lstrip("-").isdigit() for p in parts
             ):
                 raise ValueError(
-                    f"{spec}:{ln}: expected '<max_gap> <min_noise>', "
+                    f"{spec}:{ln}: expected '<min_block> <max_gap>', "
                     f"got {line!r}"
                 )
             stages.append((int(parts[0]), int(parts[1])))
@@ -126,12 +152,68 @@ def parse_maf_blocks(path: str) -> Tuple[List[Occ], List[str], List[int]]:
     return occs, names, sizes
 
 
-def _chain_stage(
-    perms: List[List[Occ]], max_gap: int, min_noise: int, next_id: int
+def _remove_bulges(
+    perms: List[List[Occ]], max_gap: int
+) -> Tuple[List[List[Occ]], bool]:
+    """One bulge-removal pass over the breakpoint graph.
+
+    A bulge = an anchor pair (u, v) joined by >= 2 distinct parallel
+    branches, where a branch is the (possibly empty) run of interior
+    blocks between an occurrence of u and the next occurrence of v,
+    spanning <= max_gap bp.  The keeper branch is the one with the most
+    occurrences (empty/direct branch preferred on ties, then the
+    lexicographically smallest signature, for determinism); every other
+    branch's interior occurrences are deleted from their permutations —
+    the detour collapses onto the main path, and the deleted interval is
+    later absorbed by the compressed block's span.  Anchors themselves
+    are never deleted."""
+    # branch observations: canonical (u, v) -> signature -> [interior occs]
+    branches: Dict[Tuple[int, int], Dict[Tuple[int, ...], List[List[Occ]]]] = {}
+    for p in perms:
+        n = len(p)
+        for i in range(n - 1):
+            for j in range(i + 1, min(i + 2 + _MAX_BRANCH_BLOCKS, n)):
+                if p[j].start - p[i].end > max_gap:
+                    break
+                u, v = p[i].block, p[j].block
+                mids = p[i + 1 : j]
+                sig = tuple(o.block for o in mids)
+                # canonical orientation: a bulge read on the - strand is
+                # the same bulge
+                ru, rv = -v, -u
+                rsig = tuple(-o.block for o in reversed(mids))
+                if (ru, rv, rsig) < (u, v, sig):
+                    u, v, sig = ru, rv, rsig
+                branches.setdefault((u, v), {}).setdefault(sig, []).append(
+                    list(mids)
+                )
+
+    doomed: set = set()
+    for (u, v), sigs in sorted(branches.items()):
+        if len(sigs) < 2:
+            continue
+        # keeper: most occurrences; prefer the direct branch, then the
+        # lexicographically smallest signature
+        keeper = min(
+            sigs.items(),
+            key=lambda kv: (-len(kv[1]), len(kv[0]) > 0, kv[0]),
+        )[0]
+        for sig, occ_lists in sigs.items():
+            if sig == keeper:
+                continue
+            for mids in occ_lists:
+                for o in mids:
+                    doomed.add(id(o))
+    if not doomed:
+        return perms, False
+    return [[o for o in p if id(o) not in doomed] for p in perms], True
+
+
+def _compress(
+    perms: List[List[Occ]], max_gap: int, next_id: int
 ) -> Tuple[List[List[Occ]], int, bool]:
-    """One simplification stage; returns (new perms, next_id, changed)."""
-    # (a) drop noise blocks shorter than min_noise
-    pruned = [[o for o in p if o.length >= min_noise] for p in perms]
+    """One path-compression pass; returns (new perms, next_id, changed)."""
+    pruned = perms
 
     # collect adjacency stats per ordered signed pair in + reading
     # direction; permutation ends register a sentinel successor/
@@ -230,12 +312,17 @@ def build_synteny(
     for p in perms:
         p.sort(key=lambda o: o.start)
     next_id = max((abs(o.block) for o in occs), default=0) + 1
-    for max_gap, noise in stages:
-        if noise > min_block:
+    for stage_min_block, max_gap in stages:
+        if stage_min_block > min_block:
             break
+        # stage noise filter: blocks below the stage scale leave the
+        # permutations (their intervals are later absorbed by compression)
+        perms = [[o for o in p if o.length >= stage_min_block] for p in perms]
+        # alternate compression and bulge removal to a fixpoint
         while True:
-            perms, next_id, changed = _chain_stage(perms, max_gap, noise, next_id)
-            if not changed:
+            perms, next_id, ch1 = _compress(perms, max_gap, next_id)
+            perms, ch2 = _remove_bulges(perms, max_gap)
+            if not (ch1 or ch2):
                 break
     # keep blocks with >= 2 occurrences and length >= min_block; renumber
     result = [o for p in perms for o in p if o.length >= min_block]

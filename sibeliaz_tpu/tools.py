@@ -32,9 +32,9 @@ def main(argv=None) -> int:
     p.add_argument("-o", dest="outdir", default="synteny_out")
     p.add_argument("-b", dest="sizes", type=int, nargs="+", default=[5000])
     p.add_argument(
-        "-s", dest="simpl", default="loose",
-        help="simplification schedule: 'fine', 'loose', or a parameter "
-        "file with one '<max_gap> <min_noise>' pair per line",
+        "-s", dest="simpl", default="fine",
+        help="simplification schedule: 'fine' (default), 'loose', or a "
+        "parameter file with one '<min_block> <max_gap>' pair per line",
     )
 
     args = ap.parse_args(argv)

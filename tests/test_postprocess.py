@@ -103,8 +103,10 @@ def test_synteny_bulge_skip_and_inversion_boundary():
 
 
 def test_synteny_parse_stages(tmp_path):
-    assert synteny.parse_stages("loose") == synteny.DEFAULT_STAGES
+    assert synteny.parse_stages("loose") == synteny.LOOSE_STAGES
     assert synteny.parse_stages("fine") == synteny.FINE_STAGES
+    assert synteny.DEFAULT_STAGES == synteny.FINE_STAGES
+    assert synteny.LOOSE_STAGES[: len(synteny.FINE_STAGES)] == synteny.FINE_STAGES
     f = tmp_path / "params.txt"
     f.write_text("# custom schedule\n30 10\n\n200 500  # wide\n")
     assert synteny.parse_stages(str(f)) == [(30, 10), (200, 500)]
@@ -142,3 +144,108 @@ def test_synteny_terminal_occurrence_blocks_chain():
     ids = sorted(abs(o.block) for o in out)
     # block 1 survives with 2 occurrences; block 2 (single copy) is dropped
     assert len(out) == 2 and ids == [1, 1]
+
+
+def test_synteny_true_bulge_removal():
+    """A bulge that noise-pruning alone cannot collapse: the detour block
+    is LARGE (>= every stage's min_block it meets) but short enough to fit
+    a stage's max_gap; only real bulge removal merges the anchors.
+    g0: A(5k) X(800) B(5k);  g1: A(5k) B(5k) direct;  g2 like g1."""
+    from sibeliaz_tpu.postprocess.synteny import Occ, build_synteny
+
+    occs = [
+        Occ(1, 0, 0, 5000), Occ(9, 0, 5100, 5900), Occ(2, 0, 6000, 11000),
+        Occ(1, 1, 0, 5000), Occ(2, 1, 5030, 10030),
+        Occ(1, 2, 0, 5000), Occ(2, 2, 5040, 10040),
+    ]
+    out = build_synteny(occs, 3, min_block=2000)
+    # anchors merge in ALL THREE genomes (the g0 detour is deleted as the
+    # minority bulge branch and its interval absorbed by the merged span)
+    ids = {abs(o.block) for o in out}
+    assert len(ids) == 1
+    spans = sorted((o.chr, o.start, o.end) for o in out)
+    assert spans == [(0, 0, 11000), (1, 0, 10030), (2, 0, 10040)]
+
+
+def test_synteny_bulge_respects_gap_bound():
+    """A detour longer than every applicable max_gap must NOT be removed:
+    the permutations stay split at the rearrangement."""
+    from sibeliaz_tpu.postprocess.synteny import Occ, build_synteny
+
+    occs = [
+        Occ(1, 0, 0, 5000), Occ(9, 0, 5100, 45000), Occ(2, 0, 45100, 50100),
+        Occ(1, 1, 0, 5000), Occ(2, 1, 5030, 10030),
+    ]
+    out = build_synteny(occs, 2, min_block=2000)
+    ids = sorted(abs(o.block) for o in out)
+    # A and B never merge; both survive with 2 occurrences each (9 is
+    # single-copy and dropped)
+    assert len(set(ids)) == 2 and len(ids) == 4
+
+
+class TestSyntenyProperties:
+    """Invariants of the simplification (maf2synteny parity properties)."""
+
+    def _random_case(self, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        from sibeliaz_tpu.postprocess.synteny import Occ
+
+        # a shared backbone of blocks with per-genome indels/inversions
+        n_blocks = 12
+        occs = []
+        for c in range(3):
+            pos = 0
+            bid = 1
+            while bid <= n_blocks:
+                ln = int(rng.integers(200, 3000))
+                gap = int(rng.integers(0, 120))
+                strand = -1 if rng.random() < 0.15 else 1
+                if rng.random() < 0.8:  # genome carries this block
+                    occs.append(Occ(strand * bid, c, pos, pos + ln))
+                    pos += ln + gap
+                bid += 1
+        return occs
+
+    def test_multiplicity_and_disjointness(self):
+        from sibeliaz_tpu.postprocess.synteny import build_synteny
+
+        for seed in (1, 2, 3, 4):
+            occs = self._random_case(seed)
+            out = build_synteny(occs, 3, min_block=500)
+            mult = {}
+            for o in out:
+                mult[abs(o.block)] = mult.get(abs(o.block), 0) + 1
+            assert all(m >= 2 for m in mult.values())
+            by_chr = {}
+            for o in out:
+                by_chr.setdefault(o.chr, []).append((o.start, o.end))
+            for rows in by_chr.values():
+                rows.sort()
+                for (s1, e1), (s2, e2) in zip(rows, rows[1:]):
+                    assert e1 <= s2, "synteny blocks overlap on a chromosome"
+
+    def test_coverage_monotone_in_scale(self):
+        """Coarser output scales never cover MORE sequence than finer ones
+        (blocks only get filtered / absorbed as min_block grows)."""
+        from sibeliaz_tpu.postprocess.synteny import build_synteny
+
+        occs = self._random_case(7)
+        covs = []
+        for mbs in (200, 1000, 4000):
+            out = build_synteny(occs, 3, min_block=mbs)
+            covs.append(sum(o.length for o in out))
+        assert covs[0] >= covs[1] >= covs[2] - 1  # absorption may add bp
+        assert covs[0] > 0
+
+    def test_determinism(self):
+        from sibeliaz_tpu.postprocess.synteny import build_synteny
+
+        occs1 = self._random_case(11)
+        occs2 = self._random_case(11)
+        a = build_synteny(occs1, 3, min_block=500)
+        b = build_synteny(occs2, 3, min_block=500)
+        assert [(o.block, o.chr, o.start, o.end) for o in a] == [
+            (o.block, o.chr, o.start, o.end) for o in b
+        ]
