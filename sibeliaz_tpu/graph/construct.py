@@ -400,8 +400,10 @@ def _v7_core_cummax(codes_u8: jnp.ndarray, k: int):
     *keys_s, packed_s, idx_s = jax.lax.sort(
         (*keys, packed, idx), num_keys=len(keys), is_stable=True
     )
-    seg_start = jnp.zeros(n, dtype=bool).at[0].set(True)
-    for ks in keys_s:
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), keys_s[0][1:] != keys_s[0][:-1]]
+    )
+    for ks in keys_s[1:]:
         seg_start = seg_start | jnp.concatenate(
             [jnp.ones(1, dtype=bool), ks[1:] != ks[:-1]]
         )
@@ -467,8 +469,10 @@ def _v7_core_scan(codes_u8: jnp.ndarray, k: int):
     *keys_s, packed_s, idx_s = jax.lax.sort(
         (*keys, packed, idx), num_keys=len(keys), is_stable=True
     )
-    seg_start = jnp.zeros(packed_s.shape[0], dtype=bool).at[0].set(True)
-    for ks in keys_s:
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), keys_s[0][1:] != keys_s[0][:-1]]
+    )
+    for ks in keys_s[1:]:
         seg_start = seg_start | jnp.concatenate(
             [jnp.ones(1, dtype=bool), ks[1:] != ks[:-1]]
         )
