@@ -54,6 +54,8 @@ class DeviceTables:
     occ_off: jnp.ndarray  # [V+1]
     occ_chr: jnp.ndarray
     occ_idx: jnp.ndarray
+    occ_ch: jnp.ndarray  # [n_occ] uint8 annotation char (+ strand)
+    occ_revch: jnp.ndarray  # [n_occ] uint8 annotation char (- strand)
     k: int
 
     @classmethod
@@ -88,6 +90,8 @@ class DeviceTables:
             occ_off=jnp.asarray(table.occ_off.astype(np.int64)),
             occ_chr=jnp.asarray(table.occ_chr.astype(np.int64)),
             occ_idx=jnp.asarray(table.occ_idx.astype(np.int64)),
+            occ_ch=jnp.asarray(table.occ_ch),
+            occ_revch=jnp.asarray(table.occ_revch),
             k=table.k,
         )
 

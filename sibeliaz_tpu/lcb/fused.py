@@ -61,7 +61,9 @@ from sibeliaz_tpu.lcb.resident import (
     _push_score_snap,
     _score_of,
     _seed_lanes,
+    _seed_lanes_device,
     _vote_gathered,
+    instances_from_compact,
     instances_from_snapshot,
     snapshot_to_host,
 )
@@ -242,7 +244,11 @@ def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
     with collectives only for the loop-condition/any-retry scalars and the
     walk's traced occurrence bound."""
     CAP, W = tier
-    ln, _, seed_ovf = _seed_lanes(eng.t, bundles, L)
+    if mesh is None:
+        # device seeding: 2 scalars/lane h2d instead of host-built slabs
+        ln, _, seed_ovf = _seed_lanes_device(tb, bundles, L)
+    else:
+        ln, _, seed_ovf = _seed_lanes(eng.t, bundles, L)
     st = ResidentState(
         ln=ln, rw=ln, sn=ln, best_score=jnp.zeros(L, jnp.int64),
         has_snap=jnp.zeros(L, bool),
@@ -327,14 +333,26 @@ def process_phase_fused(
                 j for j in range(len(group))
                 if snap[j] and not hostfb[j] and not retier[j]
             ]
-            h = snapshot_to_host(sn) if decode else None
+            comp = h = None
+            if decode:
+                # compact d2h: ~80 B per good instance instead of the full
+                # [L, I_CAP] x 11 slab; falls back on overflow
+                comp = (
+                    instances_from_compact(sn, decode, L)
+                    if mesh is None else None
+                )
+                if comp is None:
+                    h = snapshot_to_host(sn)
             for j, i in enumerate(group):
                 if hostfb[j] or (retier[j] and last):
                     oracle.append(i)
                 elif retier[j]:
                     escalate.append(i)
                 elif snap[j]:
-                    results[i] = instances_from_snapshot(h, j)
+                    results[i] = (
+                        comp[j] if comp is not None
+                        else instances_from_snapshot(h, j)
+                    )
         work = escalate
 
     for i in oracle:

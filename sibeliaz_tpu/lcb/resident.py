@@ -412,6 +412,95 @@ def _seed_lanes(
     return ln, n, overflow
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _seed_lanes_device_impl(L: int, tb: DeviceTables, vids, chs):
+    """Vectorized Path.Init entirely on device (the h2d twin of
+    _seed_lanes): per lane, gather the origin vertex's occurrence window,
+    apply the strand-aware used-slot and annotation-char filters, and
+    left-compact the survivors.  vids[L] signed origin ids (0 = inert
+    lane); chs[L] the bundle out-chars.  Returns (DeviceLanes, n[L],
+    overflow[L]); a lane whose occurrence COUNT exceeds I_CAP is flagged
+    overflow conservatively (host oracle re-runs it, exact either way)."""
+    v = jnp.abs(vids)
+    lo = tb.occ_off[jnp.clip(v, 0, tb.occ_off.shape[0] - 2)]
+    cnt = tb.occ_off[jnp.clip(v + 1, 0, tb.occ_off.shape[0] - 1)] - lo
+    col = jnp.arange(I_CAP, dtype=jnp.int64)[None, :]
+    in_occ = (col < cnt[:, None]) & (vids != 0)[:, None]
+    rows = jnp.clip(lo[:, None] + col, 0, jnp.maximum(tb.occ_chr.shape[0] - 1, 0))
+    cs = tb.occ_chr[rows]
+    is_ = tb.occ_idx[rows]
+    flat = jnp.clip(
+        tb.chr_off[jnp.clip(cs, 0, tb.chr_off.shape[0] - 2)] + is_,
+        0, jnp.maximum(tb.jid.shape[0] - 1, 0),
+    )
+    stored = tb.jid[flat]
+    s = jnp.where(stored == vids[:, None], jnp.int64(1), jnp.int64(-1))
+    # strand-aware used slot: + uses its own slot, - uses idx-1 (idx 0 on
+    # the minus strand is never used)
+    slot = jnp.where(s > 0, flat, flat - 1)
+    usable = jnp.where(
+        (s > 0) | (is_ > 0),
+        tb.used[jnp.clip(slot, 0, jnp.maximum(tb.used.shape[0] - 1, 0))] == 0,
+        True,
+    )
+    charv = jnp.where(s > 0, tb.occ_ch[rows], tb.occ_revch[rows]).astype(
+        jnp.int64
+    )
+    keep = in_occ & usable & (charv == chs[:, None])
+    # left-compact survivors, preserving occurrence order (keys unique)
+    key = jnp.where(keep, col, I_CAP + col)
+    _, cs2, is2, s2 = jax.lax.sort((key, cs, is_, s), dimension=1, num_keys=1)
+    n = jnp.sum(keep.astype(jnp.int64), axis=1)
+    live = col < n[:, None]
+    zero = jnp.zeros((L, I_CAP), jnp.int64)
+    idx2 = jnp.where(live, is2, 0)
+    pvid = jnp.full((L, P_CAP), BIG, jnp.int64)
+    pvid = pvid.at[:, 0].set(jnp.where(vids != 0, vids, BIG))
+    origin = jnp.where(vids != 0, vids, 0)
+    ln = DeviceLanes(
+        chr=jnp.where(live, cs2, -1),
+        s=jnp.where(live, s2, 0),
+        fi=idx2,
+        bi=idx2,
+        fdist=zero,
+        bdist=zero,
+        cmp=idx2,
+        ffin=jnp.zeros((L, I_CAP), bool),
+        bfin=jnp.zeros((L, I_CAP), bool),
+        good_seq=jnp.full((L, I_CAP), -1, jnp.int64),
+        insert_seq=jnp.where(live, col, 0),
+        n=n,
+        next_good=jnp.zeros(L, jnp.int64),
+        next_insert=n,
+        right_flank=jnp.zeros(L, jnp.int64),
+        left_flank=jnp.zeros(L, jnp.int64),
+        overflow=jnp.zeros(L, bool),
+        pvid=pvid,
+        pdist=jnp.zeros((L, P_CAP), jnp.int64),
+        pn=jnp.where(vids != 0, jnp.int64(1), jnp.int64(0)),
+        rv=origin,
+        lv=origin,
+    )
+    return ln, n, cnt > I_CAP
+
+
+def _seed_lanes_device(
+    eng_or_tb, bundles: Sequence[Bundle], L: int
+) -> Tuple[DeviceLanes, np.ndarray, np.ndarray]:
+    """Device seeding entry: ships only 2 scalars per lane h2d (vs the
+    ~20 MB/phase of host-built lane slabs over this environment's tunnel)."""
+    tb = eng_or_tb
+    vids = np.zeros(L, np.int64)
+    chs = np.zeros(L, np.int64)
+    for i, b in enumerate(bundles):
+        vids[i] = b.vid
+        chs[i] = b.ch
+    ln, n, ovf = _seed_lanes_device_impl(
+        L, tb, jnp.asarray(vids), jnp.asarray(chs)
+    )
+    return ln, np.asarray(n), np.asarray(ovf)
+
+
 # --------------------------------------------------------------------------
 # per-lane protocol generator (pure control flow; all path state on device)
 # --------------------------------------------------------------------------
@@ -500,13 +589,23 @@ def _device_tables(eng: LcbEngine) -> DeviceTables:
     used_all = (
         np.concatenate(eng.t.used) if eng.t.n_chr else np.zeros(0, np.uint8)
     )
-    pfx = np.zeros(len(used_all) + 1, np.int64)
-    np.cumsum(used_all, out=pfx[1:])
-    tb = dataclasses.replace(
-        tb, used=jnp.asarray(used_all), used_pfx=jnp.asarray(pfx)
-    )
+    # ship only the uint8 flags; the int64 exclusive prefix (8x the bytes)
+    # is computed on device
+    used_j, pfx_j = _used_prefix(jnp.asarray(used_all))
+    tb = dataclasses.replace(tb, used=used_j, used_pfx=pfx_j)
     eng._resident_tb = tb
     return tb
+
+
+@jax.jit
+def _used_prefix(used_u8):
+    pfx = jnp.concatenate(
+        [
+            jnp.zeros(1, jnp.int64),
+            jnp.cumsum(used_u8.astype(jnp.int64)),
+        ]
+    )
+    return used_u8, pfx
 
 
 def _pad_pow2(m: int, lo: int = 8) -> int:
@@ -522,6 +621,61 @@ _SNAP_FIELDS = (
 def snapshot_to_host(sn: DeviceLanes) -> Dict[str, np.ndarray]:
     """Fetch the result-slab fields needed to decode Instances."""
     return {f: np.asarray(getattr(sn, f)) for f in _SNAP_FIELDS}
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _snap_compact_impl(M_CAP: int, sn: DeviceLanes, want):
+    """Compact the result slab's good-instance rows on device.
+
+    Returns (count, key[:M_CAP], 9 field columns[:M_CAP]) where rows are
+    sorted by (lane, good_seq) and key = lane*(I_CAP+1)+good_seq — so the
+    host receives ~count*80 bytes instead of the full [L, I_CAP] x 11
+    slab (the d2h side of the transfer-lean fused path)."""
+    L, IC = sn.chr.shape
+    col = jnp.arange(IC, dtype=jnp.int64)[None, :]
+    lane = jnp.arange(L, dtype=jnp.int64)[:, None]
+    good = want[:, None] & (col < sn.n[:, None]) & (sn.good_seq >= 0)
+    count = jnp.sum(good.astype(jnp.int64))
+    key = jnp.where(good, lane * (IC + 1) + sn.good_seq, BIG).reshape(-1)
+    fields = (
+        sn.chr, sn.s, sn.fi, sn.bi, sn.fdist, sn.bdist, sn.cmp,
+        sn.ffin.astype(jnp.int64), sn.bfin.astype(jnp.int64),
+    )
+    out = jax.lax.sort(
+        (key, *(f.reshape(-1) for f in fields)), num_keys=1
+    )
+    return (count, *(v[:M_CAP] for v in out))
+
+
+def instances_from_compact(
+    sn: DeviceLanes, decode_rows, L: int
+) -> Optional[Dict[int, List[Instance]]]:
+    """Decode the wanted lanes' Instance lists via the compact d2h path;
+    None if the compact buffer overflowed (caller falls back to the full
+    snapshot fetch).  Returns {lane row -> [Instance]}."""
+    IC = sn.chr.shape[1]
+    M_CAP = min(16 * L, L * IC)
+    want = np.zeros(L, bool)
+    want[decode_rows] = True
+    res = _snap_compact_impl(M_CAP, sn, jnp.asarray(want))
+    count = int(res[0])
+    if count > M_CAP:
+        return None
+    cols = np.stack([np.asarray(x[:count]) for x in res[1:]])
+    key = cols[0]
+    lanes = key // (IC + 1)
+    out: Dict[int, List[Instance]] = {int(j): [] for j in decode_rows}
+    for r in range(count):
+        inst = Instance(int(cols[1][r]), int(cols[2][r]), 0, 0)
+        inst.fi = int(cols[3][r])
+        inst.bi = int(cols[4][r])
+        inst.fdist = int(cols[5][r])
+        inst.bdist = int(cols[6][r])
+        inst.cmp = int(cols[7][r])
+        inst.ffin = bool(cols[8][r])
+        inst.bfin = bool(cols[9][r])
+        out[int(lanes[r])].append(inst)
+    return out
 
 
 def instances_from_snapshot(h: Dict[str, np.ndarray], i: int) -> List[Instance]:
@@ -566,7 +720,7 @@ def process_phase_resident(
     L = PHASE_LANES if nb > 32 else _pad_pow2(nb, 32)
     tb = _device_tables(eng)
 
-    ln, n_host, seed_ovf = _seed_lanes(table, bundles, L)
+    ln, n_host, seed_ovf = _seed_lanes_device(tb, bundles, L)
     st = ResidentState(
         ln=ln, rw=ln, sn=ln, best_score=jnp.zeros(L, jnp.int64),
         has_snap=jnp.zeros(L, bool),

@@ -58,3 +58,30 @@ def test_resident_full_gff_byte_equal():
         return gff_mod.render_gff(blocks, names, chr_lengths)
 
     assert run(True) == run(False)
+
+
+def test_device_seeding_matches_host():
+    """_seed_lanes_device must produce the identical DeviceLanes slab as
+    the host _seed_lanes for every field (the h2d-lean seeding path)."""
+    import numpy as np
+    from sibeliaz_tpu.lcb.resident import (
+        _device_tables, _seed_lanes, _seed_lanes_device,
+    )
+
+    _, _, _, _, eng = build(123, length=4000, mut=0.03, rearrange=True)
+    bundles = eng.make_bundles()[:48]
+    # mark a few junctions used so the used-slot filter is exercised
+    for c in range(eng.t.n_chr):
+        eng.t.used[c][:: max(1, len(eng.t.used[c]) // 7)] = 1
+    tb = _device_tables(eng)
+    L = 64
+    h_ln, h_n, h_ovf = _seed_lanes(eng.t, bundles, L)
+    d_ln, d_n, d_ovf = _seed_lanes_device(tb, bundles, L)
+    assert np.array_equal(h_n, d_n)
+    assert np.array_equal(h_ovf, d_ovf)
+    import dataclasses as dc
+
+    for f in dc.fields(h_ln):
+        a = np.asarray(getattr(h_ln, f.name))
+        b = np.asarray(getattr(d_ln, f.name))
+        assert np.array_equal(a, b), f"seed field {f.name} diverged"
