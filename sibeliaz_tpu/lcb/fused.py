@@ -371,6 +371,9 @@ def process_phase_fused(
 def run_fused(eng: LcbEngine, mesh: Optional[Mesh] = None):
     """Full LCB run with fused-phase device exploration; pass a Mesh with a
     "lanes" axis to shard each phase's lanes over multiple chips."""
+    from sibeliaz_tpu.lcb.device_bundles import make_bundles_device
+
     return eng.run(
-        process_batch_fn=functools.partial(process_phase_fused, mesh=mesh)
+        process_batch_fn=functools.partial(process_phase_fused, mesh=mesh),
+        bundles=make_bundles_device(eng.t),
     )

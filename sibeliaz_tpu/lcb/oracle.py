@@ -591,6 +591,20 @@ class LcbEngine:
         gxx_sort(bundles, lambda a, b: a.less(b))
         return bundles
 
+    @staticmethod
+    def _used_range(inst: Instance):
+        """The contiguous used-slot index range touched by the sequential
+        walk front->back (exclusive): on + the walk visits i = fi..bi-1
+        marking slot i; on - it visits i = fi..bi+1 marking slot i-1, i.e.
+        slots bi..fi-1 — both are one half-open slice."""
+        return (inst.fi, inst.bi) if inst.s > 0 else (inst.bi, inst.fi)
+
+    def range_is_used(self, inst: Instance) -> bool:
+        """Vectorized twin of the front->back is_used scan (run's conflict
+        check); equality with the iterator walk is unit-tested."""
+        lo, hi = self._used_range(inst)
+        return bool(self.t.used[inst.c][lo:hi].any())
+
     def finalize(self, instances: List[Instance], invalid: set) -> None:
         self.blocks_found += 1
         bid = self.blocks_found
@@ -606,20 +620,26 @@ class LcbEngine:
                 self.blocks.append(
                     Block(-bid, inst.c, self.pos(back) - self.k, self.pos(front))
                 )
-            it = front
-            while it != back:
-                self.mark_used(it)
-                it = self.nxt(it)
+            lo, hi = self._used_range(inst)
+            self.t.used[inst.c][lo:hi] = 1
 
-    def run(self, process_batch_fn=None, phase_size: int = 256) -> List[Block]:
+    def run(
+        self,
+        process_batch_fn=None,
+        phase_size: int = 256,
+        bundles: Optional[List[Bundle]] = None,
+    ) -> List[Block]:
         """Full phase/commit protocol.  `process_batch_fn(eng, bundles)` may
         replace the per-bundle exploration (e.g. the resident device engine,
         lcb/resident.py); the serial validate/commit loop — which defines the
         deterministic result — always runs here.  `phase_size` is the
         speculation window (reference: 256, blocksfinder.h:519); tests and
         the multi-chip dryrun shrink it to exercise the cross-phase commit
-        protocol on tiny inputs."""
-        bundles = self.make_bundles()
+        protocol on tiny inputs.  `bundles` may inject a precomputed work
+        list (e.g. lcb.device_bundles.make_bundles_device — identical to
+        make_bundles, enumerated on device)."""
+        if bundles is None:
+            bundles = self.make_bundles()
         phase = 0
         while phase < len(bundles):
             limit = min(phase + phase_size, len(bundles))
@@ -635,14 +655,8 @@ class LcbEngine:
                     for inst in instances:
                         if inst.c not in invalid:
                             continue
-                        it = (inst.c, inst.fi, inst.s)
-                        back = (inst.c, inst.bi, inst.s)
-                        while it != back:
-                            if self.is_used(it):
-                                is_good = False
-                                break
-                            it = self.nxt(it)
-                        if not is_good:
+                        if self.range_is_used(inst):
+                            is_good = False
                             break
                     if is_good:
                         self.finalize(instances, invalid)

@@ -911,4 +911,9 @@ def process_phase_resident(
 
 def run_resident(eng: LcbEngine):
     """Full LCB run with resident-device phase exploration."""
-    return eng.run(process_batch_fn=process_phase_resident)
+    from sibeliaz_tpu.lcb.device_bundles import make_bundles_device
+
+    return eng.run(
+        process_batch_fn=process_phase_resident,
+        bundles=make_bundles_device(eng.t),
+    )

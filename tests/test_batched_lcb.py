@@ -526,3 +526,51 @@ def test_device_edge_of_matches_oracle():
     for q, e in enumerate(expect):
         got = (int(u[q]), int(v[q]), int(ch[q]), int(rev[q]), int(ln[q]))
         assert got == e, (cases[q], got, e)
+
+
+def test_range_used_matches_iterator_walk():
+    """range_is_used / the finalize slice must touch exactly the slots the
+    sequential front->back iterator walk touches, both strands."""
+    import numpy as np
+    from sibeliaz_tpu.lcb.oracle import Instance
+
+    table, eng = build(777, length=2500, mut=0.03, rearrange=True)
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        c = int(rng.integers(0, table.n_chr))
+        n = len(table.jpos[c])
+        if n < 3:
+            continue
+        i1, i2 = sorted(rng.integers(0, n, size=2).tolist())
+        if i1 == i2:
+            continue
+        s = 1 if rng.random() < 0.5 else -1
+        inst = Instance(c, s, 0, 0)
+        inst.fi, inst.bi = (i1, i2) if s > 0 else (i2, i1)
+        # iterator-walk ground truth on a scratch used array
+        table.used[c][:] = 0
+        marked = set()
+        it = (c, inst.fi, s)
+        back = (c, inst.bi, s)
+        while it != back:
+            eng.mark_used(it)
+            it = eng.nxt(it)
+        walk_slots = set(np.flatnonzero(table.used[c]).tolist())
+        table.used[c][:] = 0
+        lo, hi = eng._used_range(inst)
+        table.used[c][lo:hi] = 1
+        range_slots = set(np.flatnonzero(table.used[c]).tolist())
+        assert walk_slots == range_slots, (c, s, inst.fi, inst.bi)
+        # conflict check equivalence on random used patterns
+        table.used[c][:] = 0
+        pts = rng.integers(0, n, size=3)
+        table.used[c][pts] = 1
+        it = (c, inst.fi, s)
+        found = False
+        while it != back:
+            if eng.is_used(it):
+                found = True
+                break
+            it = eng.nxt(it)
+        assert found == eng.range_is_used(inst)
+        table.used[c][:] = 0
