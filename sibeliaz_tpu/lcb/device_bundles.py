@@ -135,30 +135,53 @@ def make_bundles_device(table: JunctionTable) -> List[Bundle]:
     )
     res_min = np.minimum.reduceat(res_key, starts)
 
-    bundles: List[Bundle] = []
-    kseg = key_s[starts]
-    for s_i in range(len(starts)):
-        if seg_counts[s_i] > 1 and has_pos[s_i]:
-            k = int(kseg[s_i])
-            q_is_pos = (k >> 41) & 1
-            vid_ord = (k >> 9) & ((1 << 32) - 1)
-            v = vid_ord if q_is_pos else V - vid_ord
-            chv_ = k & 0x1FF
-            rk = int(ranks[s_i]) % _U64
-            if res_min[s_i] == 0xFFFFFFFFFFFFFFFF:
-                resolve = (SIZE_MAX, SIZE_MAX)
-            else:
-                rm = int(res_min[s_i])
-                resolve = (rm >> 20, rm & ((1 << 20) - 1))
-            bundles.append(
-                Bundle(
-                    (1 if q_is_pos else -1) * int(v),
-                    int(chv_),
-                    int(seg_counts[s_i]),
-                    rk,
-                    resolve,
-                )
-            )
+    # vectorized bundle-field extraction (the Python loop over ALL segments
+    # was minutes at Mbp scale)
+    sel = np.flatnonzero((seg_counts > 1) & has_pos)
+    kseg = key_s[starts[sel]]
+    q_is_pos = (kseg >> 41) & 1
+    vid_ord = (kseg >> 9) & ((1 << 32) - 1)
+    vsel = np.where(q_is_pos > 0, vid_ord, V - vid_ord)
+    vid_signed = np.where(q_is_pos > 0, vsel, -vsel)
+    ch_sel = kseg & 0x1FF
+    cnt_sel = seg_counts[sel]
+    rank_sel = ranks[sel]  # uint64, already mod 2^64
+    rm = res_min[sel]
+    no_res = rm == np.uint64(0xFFFFFFFFFFFFFFFF)
+    res0 = np.where(no_res, np.uint64(SIZE_MAX), rm >> np.uint64(20))
+    res1 = np.where(
+        no_res, np.uint64(SIZE_MAX), rm & np.uint64((1 << 20) - 1)
+    )
 
+    # ordering = (count desc, rank asc, resolve asc); when every key tuple
+    # is distinct, std::sort's result is the total order independent of its
+    # unstable pivoting, so one lexsort suffices.  Ties (possible only for
+    # same-vertex char pairs with identical occurrence sets) fall back to
+    # the exact introsort residue.
+    order = np.lexsort((res1, res0, rank_sel, -cnt_sel.astype(np.int64)))
+    tup = np.stack(
+        [
+            cnt_sel[order].astype(np.uint64),
+            rank_sel[order],
+            res0[order],
+            res1[order],
+        ]
+    )
+    distinct = not (
+        tup.shape[1] > 1 and bool(np.any(np.all(tup[:, 1:] == tup[:, :-1], axis=0)))
+    )
+
+    def mk(i):
+        return Bundle(
+            int(vid_signed[i]),
+            int(ch_sel[i]),
+            int(cnt_sel[i]),
+            int(rank_sel[i]),
+            (int(res0[i]), int(res1[i])),
+        )
+
+    if distinct:
+        return [mk(i) for i in order]
+    bundles = [mk(i) for i in range(len(sel))]
     gxx_sort(bundles, lambda a, b: a.less(b))
     return bundles
