@@ -25,7 +25,6 @@ stage (2) with (k-1)-halo exchange lives in sibeliaz_tpu/parallel.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import List, Sequence, Tuple
 

@@ -22,11 +22,9 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
 
 from sibeliaz_tpu.junctions.table import JunctionTable
 from sibeliaz_tpu.lcb.batched_process import LaneProcess
-from sibeliaz_tpu.lcb.batched_push import LaneState
 from sibeliaz_tpu.lcb.oracle import Bundle, Instance, LcbEngine
 
 VOTE_WINDOW = 128

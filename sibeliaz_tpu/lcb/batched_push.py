@@ -25,7 +25,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from sibeliaz_tpu.junctions.table import JunctionTable
 from sibeliaz_tpu.lcb.oracle import LcbEngine
 
 I_CAP = 512  # instances per lane

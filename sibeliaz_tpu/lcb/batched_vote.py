@@ -16,7 +16,7 @@ never retry (the reference's commented-out branch, blocksfinder.h:846-848).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
