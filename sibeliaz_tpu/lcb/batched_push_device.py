@@ -322,7 +322,9 @@ def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
         success[:, None], _row_insert(ln.pdist, pp, dval, ln.pn), ln.pdist
     )
     pn = jnp.where(success, ln.pn + 1, ln.pn)
-    poverflow = ln.overflow | (success & (ln.pn >= P_CAP - 1))
+    PC = ln.pvid.shape[1]  # path-slab width (tiered; P_CAP is the max)
+    IC = ln.chr.shape[1]  # instance-slab width (tiered; I_CAP is the max)
+    poverflow = ln.overflow | (success & (ln.pn >= PC - 1))
 
     av = jnp.abs(vtx)
     occ_lo = tb.occ_off[jnp.clip(av, 0, tb.occ_off.shape[0] - 2)]
@@ -347,7 +349,7 @@ def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
 
         keys = (state["chr"] << 40) | state["cmp"]
         keys = jnp.where(
-            jnp.arange(I_CAP, dtype=jnp.int64)[None, :] < state["n"][:, None],
+            jnp.arange(IC, dtype=jnp.int64)[None, :] < state["n"][:, None],
             keys,
             BIG,
         )
@@ -358,7 +360,7 @@ def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
 
         def gather(f, q):
             return jnp.take_along_axis(
-                state[f], jnp.clip(q, 0, I_CAP - 1)[:, None], axis=1
+                state[f], jnp.clip(q, 0, IC - 1)[:, None], axis=1
             )[:, 0]
 
         in_chr = (p < state["n"]) & (gather("chr", p) == c)
@@ -401,7 +403,7 @@ def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
         cvid = cs * tb.jid[jnp.clip(cbase + cend, 0, tb.jid.shape[0] - 1)]
         cp = jax.vmap(jnp.searchsorted)(pvid, cvid)
         cdist = jnp.take_along_axis(
-            pdist, jnp.clip(cp, 0, P_CAP - 1)[:, None], axis=1
+            pdist, jnp.clip(cp, 0, PC - 1)[:, None], axis=1
         )[:, 0]
         anc_diff = jnp.where(fwd, dval - cdist, cdist - dval)
         dir_ok = jnp.where(s_ > 0, real_diff >= 0, -real_diff >= 0)
@@ -465,7 +467,7 @@ def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
 
         def set_at(f, val, mask):
             cur = state[f]
-            ci = jnp.clip(cand, 0, I_CAP - 1)
+            ci = jnp.clip(cand, 0, IC - 1)
             return cur.at[lanes_i, ci].set(
                 jnp.where(mask, val, cur[lanes_i, ci])
             )
@@ -485,7 +487,7 @@ def _push_impl_traced(max_occ, fwd, tb: DeviceTables, ln: DeviceLanes,
         state["ffin"] = set_at("ffin", True, do_change & u & ~fwd)
 
         do_insert = act & ~within & ~u & ~(compat & (cvid != vtx))
-        room = state["n"] < I_CAP
+        room = state["n"] < IC
         ins = do_insert & room
         state["overflow"] = state["overflow"] | (do_insert & ~room)
         for f, val in (

@@ -49,6 +49,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sibeliaz_tpu.lcb.batched_push import I_CAP
+from sibeliaz_tpu.lcb.batched_push_device import P_CAP
 from sibeliaz_tpu.lcb.batched_push_device import DeviceTables, edge_of
 from sibeliaz_tpu.lcb.oracle import Bundle, Instance, LcbEngine
 from sibeliaz_tpu.lcb.resident import (
@@ -69,6 +70,7 @@ from sibeliaz_tpu.lcb.resident import (
 )
 
 SMALL_CAP = 64  # vote instance cap for phases whose seeds all fit it
+SMALL_PATH = 128  # narrow path-slab width (P_CAP is the escalation)
 WIDE_W = 256  # escalated vote window (W=16 covers depth-8 + dense regions)
 VOTE_BUDGET = 1 << 22  # max L*CAP*W elements per dispatch (memory bound)
 MAX_STEPS = 4096  # extend attempts per lane (safety; ~10-100 typical)
@@ -116,9 +118,9 @@ def _walk_masked(tb: DeviceTables, st: ResidentState, valid, c, i0, s, fwd,
     return st, last, score
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _phase_fused(CAP: int, W: int, tb: DeviceTables, st: ResidentState,
-                 active0, depth, m, b, flank, min_run):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
+                 st: ResidentState, active0, depth, m, b, flank, min_run):
     """Run the complete per-bundle protocol for every lane to completion.
 
     Returns (state, retier, hostfb, steps): `retier` lanes hit a vote
@@ -181,7 +183,10 @@ def _phase_fused(CAP: int, W: int, tb: DeviceTables, st: ResidentState,
             fwd, jnp.where(do_walk, bvid, BIG), m, b, flank,
         )
         push_ovf = active & st.ln.overflow
-        hostfb = hostfb | push_ovf
+        if slab_max:
+            hostfb = hostfb | push_ovf
+        else:  # narrow instance/path slab: replay from seed, wider tier
+            retier = retier | push_ovf
         active = active & ~push_ovf
         did = do_walk & ~push_ovf
         score_reg = jnp.where(did, wscore, score_reg)
@@ -235,18 +240,20 @@ def _phase_fused(CAP: int, W: int, tb: DeviceTables, st: ResidentState,
 
 def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
               L: int, tier, mesh: Optional[Mesh] = None) -> tuple:
-    """Seed + run one tier; returns (snapshot dict, has_snap, retier,
-    hostfb, steps) as host arrays.
+    """Seed + run one tier ((vote cap, window, instance-slab width,
+    path-slab width)); returns (snapshot dict, has_snap, retier, hostfb,
+    steps) as host arrays.
 
     With a mesh, the lane axis is sharded over its "lanes" dimension —
     lanes never communicate (each explores one bundle against the
     phase-frozen snapshot), so GSPMD partitions the whole state machine
     with collectives only for the loop-condition/any-retry scalars and the
     walk's traced occurrence bound."""
-    CAP, W = tier
+    CAP, W, IC, PC = tier
+    slab_max = IC >= I_CAP
     if mesh is None:
         # device seeding: 2 scalars/lane h2d instead of host-built slabs
-        ln, _, seed_ovf = _seed_lanes_device(tb, bundles, L)
+        ln, _, seed_ovf = _seed_lanes_device(tb, bundles, L, IC, PC)
     else:
         ln, _, seed_ovf = _seed_lanes(eng.t, bundles, L)
     st = ResidentState(
@@ -267,11 +274,16 @@ def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
             lambda x: jax.device_put(x, NamedSharding(mesh, P())), tb
         )
     st, retier, hostfb, steps = _phase_fused(
-        CAP, W, tb, st, active0,
+        CAP, W, slab_max, tb, st, active0,
         jnp.int64(eng.depth), jnp.int64(eng.m), jnp.int64(eng.b),
         jnp.int64(eng.flank), jnp.int64(eng.b * 2),
     )
-    hostfb = np.asarray(hostfb) | np.asarray(seed_ovf)
+    if slab_max:
+        hostfb = np.asarray(hostfb) | np.asarray(seed_ovf)
+        retier = np.asarray(retier)
+    else:  # narrow-slab seed overflow escalates instead of host fallback
+        retier = np.asarray(retier) | np.asarray(seed_ovf)
+        hostfb = np.asarray(hostfb)
     # the result slab itself is fetched lazily by the caller — a chunk
     # whose lanes all escalate shouldn't pay the [L, I_CAP] transfer
     return st.sn, np.asarray(st.has_snap), np.asarray(retier), hostfb, int(
@@ -302,18 +314,24 @@ def process_phase_fused(
     t0 = _time.time()
     tb = _device_tables(eng)
 
-    cap0 = SMALL_CAP if max(b.count for b in bundles) <= SMALL_CAP else I_CAP
-    tiers = [(cap0, 16)]
-    if cap0 != I_CAP:
-        tiers.append((I_CAP, 16))
-    tiers.extend([(I_CAP, 64), (I_CAP, WIDE_W)])
+    small = max(b.count for b in bundles) <= SMALL_CAP
+    tiers = []
+    if small and mesh is None:
+        # narrow slabs: seed counts at Mbp scale average ~14, so the
+        # [L, 64]-instance / [L, 128]-path tier cuts every per-push sort
+        # ~8x; lanes that outgrow it replay from seed at the full width
+        tiers.append((SMALL_CAP, 16, SMALL_CAP, SMALL_PATH))
+    elif small:
+        tiers.append((SMALL_CAP, 16, I_CAP, P_CAP))
+    tiers.append((I_CAP, 16, I_CAP, P_CAP))
+    tiers.extend([(I_CAP, 64, I_CAP, P_CAP), (I_CAP, WIDE_W, I_CAP, P_CAP)])
 
     results: List[List[Instance]] = [[] for _ in range(nb)]
     work = list(range(nb))
     oracle: List[int] = []
     n_disp = 0
     steps0 = 0
-    for t, (CAP, W) in enumerate(tiers):
+    for t, (CAP, W, IC, PC) in enumerate(tiers):
         last = t == len(tiers) - 1
         chunk = max(8, min(PHASE_LANES, VOTE_BUDGET // (CAP * W)))
         escalate: List[int] = []
@@ -324,7 +342,7 @@ def process_phase_fused(
             if mesh is not None:  # lane axis must split evenly over devices
                 L = -(-L // mesh.size) * mesh.size
             sn, snap, retier, hostfb, steps = _run_tier(
-                eng, tb, sub, L, (CAP, W), mesh=mesh
+                eng, tb, sub, L, (CAP, W, IC, PC), mesh=mesh
             )
             n_disp += 1
             if t == 0:

@@ -412,19 +412,24 @@ def _seed_lanes(
     return ln, n, overflow
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _seed_lanes_device_impl(L: int, tb: DeviceTables, vids, chs):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _seed_lanes_device_impl(L: int, IC: int, PC: int, tb: DeviceTables,
+                            vids, chs):
     """Vectorized Path.Init entirely on device (the h2d twin of
     _seed_lanes): per lane, gather the origin vertex's occurrence window,
     apply the strand-aware used-slot and annotation-char filters, and
     left-compact the survivors.  vids[L] signed origin ids (0 = inert
     lane); chs[L] the bundle out-chars.  Returns (DeviceLanes, n[L],
-    overflow[L]); a lane whose occurrence COUNT exceeds I_CAP is flagged
-    overflow conservatively (host oracle re-runs it, exact either way)."""
+    overflow[L]); a lane whose occurrence COUNT exceeds the IC slab
+    width is flagged overflow (retier to a wider slab or the host oracle
+    re-runs it — exact either way).  IC/PC are the instance/path slab
+    widths: seed counts at Mbp scale average ~14, so narrow slabs cut
+    every per-push sort ~8x; lanes that outgrow them replay from seed at
+    the full I_CAP/P_CAP tier."""
     v = jnp.abs(vids)
     lo = tb.occ_off[jnp.clip(v, 0, tb.occ_off.shape[0] - 2)]
     cnt = tb.occ_off[jnp.clip(v + 1, 0, tb.occ_off.shape[0] - 1)] - lo
-    col = jnp.arange(I_CAP, dtype=jnp.int64)[None, :]
+    col = jnp.arange(IC, dtype=jnp.int64)[None, :]
     in_occ = (col < cnt[:, None]) & (vids != 0)[:, None]
     rows = jnp.clip(lo[:, None] + col, 0, jnp.maximum(tb.occ_chr.shape[0] - 1, 0))
     cs = tb.occ_chr[rows]
@@ -448,13 +453,13 @@ def _seed_lanes_device_impl(L: int, tb: DeviceTables, vids, chs):
     )
     keep = in_occ & usable & (charv == chs[:, None])
     # left-compact survivors, preserving occurrence order (keys unique)
-    key = jnp.where(keep, col, I_CAP + col)
+    key = jnp.where(keep, col, IC + col)
     _, cs2, is2, s2 = jax.lax.sort((key, cs, is_, s), dimension=1, num_keys=1)
     n = jnp.sum(keep.astype(jnp.int64), axis=1)
     live = col < n[:, None]
-    zero = jnp.zeros((L, I_CAP), jnp.int64)
+    zero = jnp.zeros((L, IC), jnp.int64)
     idx2 = jnp.where(live, is2, 0)
-    pvid = jnp.full((L, P_CAP), BIG, jnp.int64)
+    pvid = jnp.full((L, PC), BIG, jnp.int64)
     pvid = pvid.at[:, 0].set(jnp.where(vids != 0, vids, BIG))
     origin = jnp.where(vids != 0, vids, 0)
     ln = DeviceLanes(
@@ -465,9 +470,9 @@ def _seed_lanes_device_impl(L: int, tb: DeviceTables, vids, chs):
         fdist=zero,
         bdist=zero,
         cmp=idx2,
-        ffin=jnp.zeros((L, I_CAP), bool),
-        bfin=jnp.zeros((L, I_CAP), bool),
-        good_seq=jnp.full((L, I_CAP), -1, jnp.int64),
+        ffin=jnp.zeros((L, IC), bool),
+        bfin=jnp.zeros((L, IC), bool),
+        good_seq=jnp.full((L, IC), -1, jnp.int64),
         insert_seq=jnp.where(live, col, 0),
         n=n,
         next_good=jnp.zeros(L, jnp.int64),
@@ -476,16 +481,17 @@ def _seed_lanes_device_impl(L: int, tb: DeviceTables, vids, chs):
         left_flank=jnp.zeros(L, jnp.int64),
         overflow=jnp.zeros(L, bool),
         pvid=pvid,
-        pdist=jnp.zeros((L, P_CAP), jnp.int64),
+        pdist=jnp.zeros((L, PC), jnp.int64),
         pn=jnp.where(vids != 0, jnp.int64(1), jnp.int64(0)),
         rv=origin,
         lv=origin,
     )
-    return ln, n, cnt > I_CAP
+    return ln, n, cnt > IC
 
 
 def _seed_lanes_device(
-    eng_or_tb, bundles: Sequence[Bundle], L: int
+    eng_or_tb, bundles: Sequence[Bundle], L: int,
+    IC: int = I_CAP, PC: int = P_CAP,
 ) -> Tuple[DeviceLanes, np.ndarray, np.ndarray]:
     """Device seeding entry: ships only 2 scalars per lane h2d (vs the
     ~20 MB/phase of host-built lane slabs over this environment's tunnel)."""
@@ -496,7 +502,7 @@ def _seed_lanes_device(
         vids[i] = b.vid
         chs[i] = b.ch
     ln, n, ovf = _seed_lanes_device_impl(
-        L, tb, jnp.asarray(vids), jnp.asarray(chs)
+        L, IC, PC, tb, jnp.asarray(vids), jnp.asarray(chs)
     )
     return ln, np.asarray(n), np.asarray(ovf)
 
