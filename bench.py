@@ -207,6 +207,19 @@ def selftest():
     ok &= match
     log(f"junction kernel vs brute force: {match} ({time.time() - t0:.1f}s)")
 
+    # wide-k (two-limb canonical codes) on-chip
+    t0 = time.time()
+    seqs33 = [s[:20_000] for s in seqs]
+    recs33 = construct.build_junctions(seqs33, 33)
+    want33 = enumerate_junctions(seqs33, 33)
+    match33 = all(
+        np.array_equal(a.pos, b.pos) and np.array_equal(a.ids, b.ids)
+        for a, b in zip(recs33, want33)
+    )
+    results["checks"]["junction_kernel_k33_two_limb"] = bool(match33)
+    ok &= match33
+    log(f"junction kernel k=33 two-limb: {match33} ({time.time() - t0:.1f}s)")
+
     # Fused LCB phase vs host oracle on-chip
     from sibeliaz_tpu.config import Config
     from sibeliaz_tpu.junctions.table import JunctionTable

@@ -151,11 +151,11 @@ def _round_bucket(canon, n_rounds: int):
     """Deterministic class->round assignment (any pure function of canon
     keeps a class whole; a multiplicative mix balances the buckets)."""
     h = (canon * _MIX) & jnp.int64(0x7FFFFFFFFFFFFFFF)
-    return h % jnp.int64(n_rounds)
+    return h % jnp.int64(n_rounds) if isinstance(n_rounds, int) else h % n_rounds
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _round_scan(codes_all, r, n_rounds: int, k: int, chunk: int,
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _round_scan(codes_all, r, n_rounds, k: int, chunk: int,
                 n_chunks: int, cap: int, wide: bool = False):
     """One complete round on device: scan + bucket-filter + analyze +
     compact.  Narrow mode (inputs < 2^31 positions) returns one int64 per
@@ -177,7 +177,9 @@ def _round_scan(codes_all, r, n_rounds: int, k: int, chunk: int,
         local = jnp.arange(chunk, dtype=jnp.int32)
         keep = (canon != _INVALID_CANON) & (
             _round_bucket(canon, n_rounds) == r
-        )
+        )  # n_rounds is TRACED: the overflow retry (n_rounds doubling)
+        #    reuses this compiled program — a recompile through this
+        #    environment's toolchain costs minutes
         pk = packed | (positive.astype(jnp.int32) << 11)
         if wide:
             gpos = start.astype(jnp.int64) + local.astype(jnp.int64)
@@ -280,28 +282,33 @@ def build_junctions_streamed_resident(
         )
     codes_all = jnp.asarray(codes_np)
 
+    per_round = int((N * round_slack) / n_rounds) + M
+    # round up to a chunk multiple (a pow2 pad would nearly double the
+    # round buffer at chromosome scale); retries double n_rounds but keep
+    # this cap — same compiled shape, smaller per-round population
+    cap = max(M, -(-per_round // M) * M)
     while True:
-        per_round = int((N * round_slack) / n_rounds) + M
-        # round up to a chunk multiple (a pow2 pad would nearly double the
-        # round buffer at chromosome scale)
-        cap = max(M, -(-per_round // M) * M)
+        # queue ALL rounds before reading any result: jax dispatch is
+        # async, so the device pipelines round r+1's scan behind round r's
+        # epilogue and the per-round host sync (RPC latency on a tunneled
+        # chip) is paid once, not n_rounds times
+        queued = [
+            _round_scan(
+                codes_all, jnp.int64(r), jnp.int64(n_rounds), k, M,
+                n_chunks, cap, wide,
+            )
+            for r in range(n_rounds)
+        ]
         parts = []
         oparts = []
-        overflowed = False
-        for r in range(n_rounds):
-            n_j, po, oo, ovf = _round_scan(
-                codes_all, jnp.int64(r), n_rounds, k, M, n_chunks, cap,
-                wide,
-            )
-            if bool(ovf):
-                overflowed = True
-                break
-            n_j = int(n_j)
-            if n_j:
-                parts.append(np.asarray(po[:n_j]))
-                if wide:
-                    oparts.append(np.asarray(oo[:n_j]))
+        overflowed = any(bool(q[3]) for q in queued)
         if not overflowed:
+            for n_j, po, oo, _ in queued:
+                n_j = int(n_j)
+                if n_j:
+                    parts.append(np.asarray(po[:n_j]))
+                    if wide:
+                        oparts.append(np.asarray(oo[:n_j]))
             break
         n_rounds *= 2  # skewed bucket or junction-dense input: re-round
 
