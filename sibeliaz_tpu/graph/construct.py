@@ -38,7 +38,10 @@ from sibeliaz_tpu.io.dbg import JunctionChr
 # Sentinel used for "no extension" (run/sequence boundary).
 _NO_EXT = 4
 # Canonical code sentinel for invalid windows; sorts after all real codes.
-_INVALID_CANON = jnp.int64(2**62)
+# numpy, NOT jnp: a module-level jnp constant is an eager device array;
+# fetching its value back during jit lowering costs minutes through this
+# environment's tunneled runtime (round-1 bench timeout root cause).
+_INVALID_CANON = np.int64(2**62)
 
 
 def _doubling_codes(codes: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -512,10 +515,18 @@ def _v7_core_scan(codes_u8: jnp.ndarray, k: int):
     return junction_s, first_s, idx_s, packed_s, seg_start
 
 
+# Default core: cummax.  The scan core's two lax.associative_scan trees
+# stream ~2x less non-sort traffic, but their slice/concat recursion is
+# compile-hostile on this toolchain: XLA compile time grows ~4x per input
+# doubling (measured: 63 s at 2^20, 270 s at 2^21, >500 s at 2^22), which
+# is what timed out the round-1 driver bench.  The cummax ladders lower to
+# reduce-window and compile in 64 s at 2^22 / 128 s at 2^24 with nearly
+# the same runtime (sorts dominate both cores).  SZ_JUNCTION_CORE=scan
+# re-enables the scan core where compile time is irrelevant.
 _v7_core = (
-    _v7_core_cummax
-    if os.environ.get("SZ_JUNCTION_CORE", "scan") == "cummax"
-    else _v7_core_scan
+    _v7_core_scan
+    if os.environ.get("SZ_JUNCTION_CORE", "cummax") == "scan"
+    else _v7_core_cummax
 )
 
 

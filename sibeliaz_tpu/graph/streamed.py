@@ -144,7 +144,8 @@ def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
 #     across rounds (identical to the monolithic kernel's numbering).
 # ---------------------------------------------------------------------------
 
-_MIX = jnp.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as two's compl.
+# numpy, NOT jnp (device-constant lowering fetch; see construct._INVALID_CANON)
+_MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as two's compl.
 
 
 def _round_bucket(canon, n_rounds: int):

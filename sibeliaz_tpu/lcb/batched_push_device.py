@@ -36,7 +36,7 @@ from sibeliaz_tpu.lcb.batched_push import I_CAP, LaneState
 from sibeliaz_tpu.lcb.oracle import LcbEngine
 
 P_CAP = 1024  # path vertices per lane
-BIG = jnp.int64(1) << 60
+BIG = np.int64(1) << 60  # numpy, NOT jnp (device-constant lowering fetch)
 
 
 @dataclasses.dataclass
@@ -210,10 +210,10 @@ class DeviceLanes:
             }
 
 
-_COMP_TBL = jnp.array(
+_COMP_TBL = np.array(  # numpy, NOT jnp (device-constant lowering fetch)
     [0] * 65 + [ord("T")] + [0] * 1 + [ord("G")] + [0] * 3
     + [ord("C")] + [0] * 12 + [ord("A")] + [0] * 171,
-    dtype=jnp.int64,
+    dtype=np.int64,
 )
 
 
@@ -247,9 +247,10 @@ def edge_of(tb: DeviceTables, c, i, s, fwd):
 
     def comp_at(p):  # complement(seq[p-1]), 'N' at the chromosome edge
         bb = byte_at(p - 1)
+        tbl = jnp.asarray(_COMP_TBL)  # staged literal (np host constant)
         return jnp.where(
             p > 0,
-            jnp.where(_COMP_TBL[bb] > 0, _COMP_TBL[bb], ord("N")),
+            jnp.where(tbl[bb] > 0, tbl[bb], ord("N")),
             ord("N"),
         )
 

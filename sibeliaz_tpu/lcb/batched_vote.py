@@ -26,7 +26,7 @@ from sibeliaz_tpu.junctions.table import JunctionTable
 from sibeliaz_tpu.lcb.batched_push import I_CAP, LaneState
 from sibeliaz_tpu.lcb.batched_push_device import P_CAP, DeviceTables
 
-BIG = jnp.int64(1) << 60
+BIG = np.int64(1) << 60  # numpy, NOT jnp (device-constant lowering fetch)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

@@ -378,7 +378,7 @@ def process_phase_fused(
 
     if stats:
         print(
-            f"[fused] phase nb={nb} cap0={cap0} steps={steps0} "
+            f"[fused] phase nb={nb} tier0={tiers[0]} steps={steps0} "
             f"dispatches={n_disp} oracle={len(oracle)} "
             f"total={_time.time() - t0:.1f}s",
             file=sys.stderr, flush=True,

@@ -107,7 +107,7 @@ def _local_analysis(codes_u8, k: int, n_dev: int):
     return canon, positive, right_ext, left_ext, at_boundary, global_pos
 
 
-_MIX_SH = jnp.int64(-7046029254386353131)  # multiplicative owner hash
+_MIX_SH = np.int64(-7046029254386353131)  # multiplicative owner hash (numpy, NOT jnp)
 
 
 def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos,
