@@ -11,14 +11,19 @@ throughput divided by that anchor.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Cold-cache safety (the round-1 failure mode): a cold XLA compile of the
-junction kernel through this environment's tunneled toolchain can take
-minutes, so this script (a) normalizes the env vars that feed the
-persistent-compile-cache key BEFORE importing jax, so cache entries written
-in one process are hit by the next regardless of how the caller set
-XLA_FLAGS, (b) compiles exactly one kernel shape, (c) emits stderr progress
-immediately, and (d) prints the JSON line as soon as a measured pass exists,
-only adding a second warm pass if there is wall-clock budget left.
+Cold-start safety (the round-1/round-2 failure mode): root-caused in round 3
+— the persistent compile cache DOES hit across processes (verified: stable
+cache key, per-component hashes identical, warm `lowered.compile()` = 0.05 s
+in a fresh process), but the axon PJRT plugin pays a terminal-side
+*executable load* on the first dispatch of each program in every process:
+~34 s for the 12 MB junction-kernel executable on an idle tunnel, 200-500 s
+under load.  That load (not a cache miss) is what inflated BENCH_r01/r02
+pass 1.  So this script (a) normalizes the env vars that feed the cache key
+BEFORE importing jax, (b) compiles exactly one kernel shape, (c) arms a
+deadline watchdog thread that prints the best measured pass and exits even
+if the main thread is stuck inside a long XLA load, and (d) after pass 1
+absorbs the one-time load, runs warm passes (gated by the warm-pass cost,
+not the load-inflated pass-1 time) and reports the best.
 Run `bench.py --selftest` for the on-chip correctness lane (device kernels
 asserted against host oracles on the real TPU).
 """
@@ -26,6 +31,7 @@ asserted against host oracles on the real TPU).
 import json
 import os
 import sys
+import threading
 import time
 
 # --- env normalization: MUST precede any jax import ----------------------
@@ -123,6 +129,40 @@ def emit(p, total_mbp):
     )
 
 
+# Best measured pass so far, for the deadline watchdog.  The watchdog exists
+# because a fresh process's FIRST junction-kernel dispatch pays a terminal-
+# side executable load whose duration scales with tunnel load (measured on
+# this chip: 34 s idle, 200-500 s under load) even on a persistent-cache HIT
+# — so no pre-pass estimate of pass times is trustworthy.  The watchdog
+# guarantees the best already-measured pass is printed before the deadline
+# regardless of where the main thread is stuck.
+_WATCHDOG_STATE = {"best": None, "total_mbp": None, "emitted": False}
+_WATCHDOG_LOCK = threading.Lock()
+
+
+def _emit_best_locked():
+    st = _WATCHDOG_STATE
+    if st["emitted"] or st["best"] is None:
+        return False
+    st["emitted"] = True
+    emit(st["best"], st["total_mbp"])
+    return True
+
+
+def _watchdog_main():
+    # Fire 8s before the deadline; os._exit because the main thread may be
+    # blocked inside a C++ XLA call that holds the GIL's attention for
+    # minutes and would otherwise outlive the driver's patience.
+    delay = DEADLINE_S - (time.time() - T0) - 8.0
+    if delay > 0:
+        time.sleep(delay)
+    with _WATCHDOG_LOCK:
+        if _emit_best_locked():
+            log("watchdog: deadline reached, emitted best measured pass")
+            sys.stdout.flush()
+            os._exit(0)
+
+
 def main():
     log("importing jax / sibeliaz_tpu")
     import sibeliaz_tpu  # noqa: F401
@@ -148,30 +188,46 @@ def main():
         ensure_built()
         log("native engine built")
 
-    # Pass 1: on a warm persistent cache this is steady-state; on a cold
-    # cache it absorbs the one big XLA compile (junction kernel at the
-    # single bench bucket shape).
-    log("pass 1 (includes any cold compile) ...")
+    # Arm the deadline watchdog BEFORE the first pass: pass 1's first
+    # junction-kernel dispatch pays a one-time per-process terminal-side
+    # executable load (cache hit or not) whose duration depends on tunnel
+    # load; if it overruns, the watchdog emits whatever has been measured.
+    threading.Thread(target=_watchdog_main, daemon=True).start()
+
+    # Pass 1: absorbs the one-per-process costs — a cold XLA compile if the
+    # persistent cache misses, and the terminal-side executable load of the
+    # junction kernel either way.
+    log("pass 1 (includes any cold compile / executable load) ...")
     p1 = run_pass(seqs, names, cfg, pipeline, construct, engine)
+    with _WATCHDOG_LOCK:
+        _WATCHDOG_STATE["best"] = p1
+        _WATCHDOG_STATE["total_mbp"] = total_mbp
     log(f"pass 1 done: {p1['total']:.2f}s (graph {p1['graph']:.2f}s)")
 
+    # Warm passes: the compile and executable load are per-process one-time
+    # costs, so a warm pass costs about p1's LCB tail plus a few seconds of
+    # graph dispatch — NOT p1['total'] (round-2 bug: using the compile-laden
+    # pass-1 time as the warm estimate left 180s of budget unused and
+    # recorded the cold pass).  Estimate from the non-graph tail; the
+    # watchdog guards against the estimate being wrong.
     best = p1
-    # Add warm passes only while there is budget: each warm pass costs about
-    # the post-compile work of pass 1 (bounded by p1 total).
+    warm_est = p1["lcb"] + 15.0
     n_extra = 0
-    while n_extra < 2:
+    while n_extra < 3:
         elapsed = time.time() - T0
-        # a warm pass can't take longer than the last measured pass; leave
-        # 1.5x headroom plus 10s slack before the deadline
-        if elapsed + 1.5 * best["total"] + 10 > DEADLINE_S:
+        if elapsed + warm_est + 12 > DEADLINE_S:
             break
         p = run_pass(seqs, names, cfg, pipeline, construct, engine)
         log(f"warm pass done: {p['total']:.2f}s (graph {p['graph']:.2f}s)")
         if p["total"] < best["total"]:
             best = p
+            with _WATCHDOG_LOCK:
+                _WATCHDOG_STATE["best"] = best
+        warm_est = p["total"] + 5.0
         n_extra += 1
 
-    emit(best, total_mbp)
+    with _WATCHDOG_LOCK:
+        _emit_best_locked()
 
 
 def selftest():
