@@ -582,13 +582,6 @@ def build_junctions(
     bucket = max(4096, 1 << (len(joined) - 1).bit_length())
     budget = hbm_budget_bytes or DEFAULT_HBM_BUDGET
     if bucket * MONOLITHIC_PEAK_BYTES_PER_POS > budget:
-        if k > 31:
-            raise NotImplementedError(
-                f"k={k} > 31 uses two-limb k-mer codes, which the "
-                f"memory-bounded streamed path does not carry yet; this "
-                f"input ({len(joined)} positions) exceeds the monolithic "
-                f"kernel's HBM budget. Use k <= 31 for inputs this large."
-            )
         from sibeliaz_tpu.graph import streamed
 
         n_rounds = max(

@@ -38,6 +38,7 @@ from sibeliaz_tpu.graph.construct import (
     _INVALID_CANON,
     _NO_EXT,
     _doubling_codes,
+    _doubling_codes2,
 )
 from sibeliaz_tpu.graph.assemble import assign_ids, split_chromosomes
 from sibeliaz_tpu.io.dbg import JunctionChr
@@ -89,6 +90,52 @@ def _chunk_scan(codes_u8: jnp.ndarray, k: int):
     return canon, packed, positive
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _chunk_scan2(codes_u8: jnp.ndarray, k: int):
+    """Two-limb (31 < k <= 61) variant of _chunk_scan: canonical codes are
+    (hi, lo) base-2^62 pairs (construct._doubling_codes2), compared
+    lexicographically.  Invalid windows carry (hi=_INVALID_CANON, lo=0) —
+    the same sentinel convention as construct._prepare_packed."""
+    n = codes_u8.shape[0]
+    M = n - k - 2
+    definite = codes_u8 != alphabet.BAD_CODE
+    codes = jnp.where(definite, codes_u8, 0).astype(jnp.int64)
+
+    defc = jnp.cumsum(definite.astype(jnp.int64))
+    defc = jnp.concatenate([jnp.zeros(1, jnp.int64), defc])
+    valid_full = (defc[k:] - defc[:-k]) == k
+    valid = valid_full[1 : M + 1]
+
+    fh_f, fl_f, rh_f, rl_f = _doubling_codes2(codes, k)
+    fh, fl = fh_f[1 : M + 1], fl_f[1 : M + 1]
+    rh, rl = rh_f[1 : M + 1], rl_f[1 : M + 1]
+    positive = (fh < rh) | ((fh == rh) & (fl < rl))
+    ch = jnp.where(valid, jnp.where(positive, fh, rh), _INVALID_CANON)
+    cl = jnp.where(valid, jnp.where(positive, fl, rl), jnp.int64(0))
+
+    nxt_def = definite[k + 1 : M + k + 1]
+    prv_def = definite[0:M]
+    nxt_c = codes[k + 1 : M + k + 1]
+    prv_c = codes[0:M]
+    nxt = jnp.where(nxt_def, nxt_c, _NO_EXT)
+    prv = jnp.where(prv_def, prv_c, _NO_EXT)
+    comp_nxt = jnp.where(nxt_def, 3 - nxt_c, _NO_EXT)
+    comp_prv = jnp.where(prv_def, 3 - prv_c, _NO_EXT)
+    right_ext = jnp.where(positive, nxt, comp_prv)
+    left_ext = jnp.where(positive, prv, comp_nxt)
+
+    prev_valid = valid_full[0:M]
+    next_valid = valid_full[2 : M + 2]
+    at_boundary = valid & (~prev_valid | ~next_valid)
+
+    packed = (
+        (jnp.int32(1) << right_ext.astype(jnp.int32))
+        | (jnp.int32(1) << (left_ext.astype(jnp.int32) + 5))
+        | (at_boundary.astype(jnp.int32) << 10)
+    )
+    return ch, cl, packed, positive
+
+
 @jax.jit
 def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
     """Per-class junction predicates over one round's records (padded with
@@ -123,6 +170,44 @@ def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
     return isj, first_of_class[class_of]
 
 
+@jax.jit
+def _round_analysis2(ch, cl, packed, gpos):
+    """Two-limb variant of _round_analysis: class identity is the
+    lexicographic (hi, lo) pair, so the grouping sort carries two keys and
+    segment starts compare both limbs."""
+    n = ch.shape[0]
+    row = jnp.arange(n, dtype=jnp.int64)
+    ch_s, cl_s, perm = jax.lax.sort((ch, cl, row), num_keys=2)
+    seg_start = jnp.concatenate(
+        [
+            jnp.ones(1, dtype=bool),
+            (ch_s[1:] != ch_s[:-1]) | (cl_s[1:] != cl_s[:-1]),
+        ]
+    )
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int64)) - 1
+
+    def seg_max(x):
+        return jax.ops.segment_max(
+            x, seg_id, num_segments=n, indices_are_sorted=True
+        )
+
+    packed_s = packed[perm]
+    distinct_r = jnp.zeros(n, jnp.int32)
+    distinct_l = jnp.zeros(n, jnp.int32)
+    for c in range(4):
+        distinct_r += seg_max((packed_s >> c) & 1)
+        distinct_l += seg_max((packed_s >> (c + 5)) & 1)
+    boundary_any = seg_max((packed_s >> 10) & 1) > 0
+    junction_class = (distinct_r > 1) | (distinct_l > 1) | boundary_any
+
+    first_of_class = jax.ops.segment_min(
+        gpos[perm], seg_id, num_segments=n, indices_are_sorted=True
+    )
+    class_of = jnp.zeros(n, jnp.int64).at[perm].set(seg_id)
+    isj = junction_class[class_of] & (ch != _INVALID_CANON)
+    return isj, first_of_class[class_of]
+
+
 # ---------------------------------------------------------------------------
 # Device-resident rounds (v2): instead of shipping every position's
 # occurrence evidence to the host for bucketing (~13 B/position d2h, then
@@ -152,6 +237,17 @@ def _round_bucket(canon, n_rounds: int):
     """Deterministic class->round assignment (any pure function of canon
     keeps a class whole; a multiplicative mix balances the buckets)."""
     h = (canon * _MIX) & jnp.int64(0x7FFFFFFFFFFFFFFF)
+    return h % jnp.int64(n_rounds) if isinstance(n_rounds, int) else h % n_rounds
+
+
+# second mix constant for the low limb (0xC2B2AE3D27D4EB4F two's compl.)
+_MIX2 = np.int64(-4417276706812531889)
+
+
+def _round_bucket2(ch, cl, n_rounds):
+    """Two-limb class->round assignment: mix both limbs so classes that
+    share a hi limb still spread across rounds."""
+    h = ((ch * _MIX) ^ (cl * _MIX2)) & jnp.int64(0x7FFFFFFFFFFFFFFF)
     return h % jnp.int64(n_rounds) if isinstance(n_rounds, int) else h % n_rounds
 
 
@@ -234,6 +330,84 @@ def _round_scan(codes_all, r, n_rounds, k: int, chunk: int,
     return n_j, po[:out_cap], oo[:out_cap], overflow
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _round_scan2(codes_all, r, n_rounds, k: int, chunk: int,
+                 n_chunks: int, cap: int, wide: bool = False):
+    """Two-limb (31 < k <= 61) variant of _round_scan: the round buffer
+    carries both canon limbs and the class analysis groups on the
+    lexicographic (hi, lo) pair.  Output payload format is identical to
+    _round_scan's, so the host assembly is shared."""
+    buf_ch = jnp.full(cap, _INVALID_CANON, jnp.int64)
+    buf_cl = jnp.zeros(cap, jnp.int64)
+    buf_packed = jnp.zeros(cap, jnp.int32)
+    buf_gpos = jnp.zeros(cap, jnp.int64 if wide else jnp.int32)
+    win = 1 + chunk + k + 1
+
+    def body(ci, carry):
+        bh, bl, bp, bg, cursor, ovf = carry
+        start = 1 + ci * chunk
+        block = jax.lax.dynamic_slice(codes_all, (start - 1,), (win,))
+        ch, cl, packed, positive = _chunk_scan2(block, k)
+        local = jnp.arange(chunk, dtype=jnp.int32)
+        keep = (ch != _INVALID_CANON) & (
+            _round_bucket2(ch, cl, n_rounds) == r
+        )
+        pk = packed | (positive.astype(jnp.int32) << 11)
+        if wide:
+            gpos = start.astype(jnp.int64) + local.astype(jnp.int64)
+        else:
+            gpos = start.astype(jnp.int32) + local
+        key = jnp.where(keep, local, jnp.int32(chunk))
+        k2, h2, l2, p2, g2 = jax.lax.sort(
+            (key, ch, cl, pk, gpos), num_keys=1
+        )
+        cnt = jnp.sum(keep.astype(jnp.int64))
+        live = jnp.arange(chunk, dtype=jnp.int64) < cnt
+        h2 = jnp.where(live, h2, _INVALID_CANON)
+        l2 = jnp.where(live, l2, 0)
+        p2 = jnp.where(live, p2, 0)
+        g2 = jnp.where(live, g2, 0)
+        at = jnp.minimum(cursor, jnp.int64(cap - chunk))
+        bh = jax.lax.dynamic_update_slice(bh, h2, (at,))
+        bl = jax.lax.dynamic_update_slice(bl, l2, (at,))
+        bp = jax.lax.dynamic_update_slice(bp, p2, (at,))
+        bg = jax.lax.dynamic_update_slice(bg, g2, (at,))
+        ovf = ovf | (cursor + cnt > cap - chunk)
+        return (bh, bl, bp, bg, cursor + cnt, ovf)
+
+    buf_ch, buf_cl, buf_packed, buf_gpos, n_rows, overflow = (
+        jax.lax.fori_loop(
+            0, n_chunks, body,
+            (buf_ch, buf_cl, buf_packed, buf_gpos,
+             jnp.int64(0), jnp.bool_(False)),
+        )
+    )
+    isj, first = _round_analysis2(
+        buf_ch, buf_cl, buf_packed & 0x7FF, buf_gpos.astype(jnp.int64)
+    )
+    out_cap = cap // 3
+    row = jnp.arange(cap, dtype=jnp.int32)
+    key3 = jnp.where(isj, row, jnp.int32(cap))
+    orient = ((buf_packed >> 11) & 1).astype(jnp.uint8)
+    if wide:
+        packed_out = (
+            (buf_gpos.astype(jnp.uint64) << 32)
+            | first.astype(jnp.uint64)
+        )
+        _, po, oo = jax.lax.sort((key3, packed_out, orient), num_keys=1)
+    else:
+        packed_out = (
+            (buf_gpos.astype(jnp.int64) << 32)
+            | (first.astype(jnp.int64) << 1)
+            | orient.astype(jnp.int64)
+        )
+        _, po = jax.lax.sort((key3, packed_out), num_keys=1)
+        oo = jnp.zeros(cap, jnp.uint8)
+    n_j = jnp.sum(isj.astype(jnp.int32))
+    overflow = overflow | (n_j > out_cap)
+    return n_j, po[:out_cap], oo[:out_cap], overflow
+
+
 def build_junctions_streamed_resident(
     seqs: Sequence[np.ndarray],
     k: int,
@@ -246,12 +420,9 @@ def build_junctions_streamed_resident(
     O(chunk + N/n_rounds) and host<->device traffic is one N-byte upload
     plus 8 bytes per junction (9 in the wide >=2^31-position mode; vs
     ~21 B/position round-tripped by the host-bucketed path).
-    `force_wide` exercises the wide payload on small inputs (tests)."""
-    if k > 31:
-        raise NotImplementedError(
-            "k > 31 (two-limb k-mer codes) is only carried by the "
-            "monolithic kernel (graph.construct.build_junctions)"
-        )
+    `force_wide` exercises the wide payload on small inputs (tests).
+    31 < k <= 61 routes to the two-limb round scan (_round_scan2); the
+    output payload and host assembly are limb-count-independent."""
     if not seqs:
         return []
     empty = [
@@ -293,8 +464,9 @@ def build_junctions_streamed_resident(
         # async, so the device pipelines round r+1's scan behind round r's
         # epilogue and the per-round host sync (RPC latency on a tunneled
         # chip) is paid once, not n_rounds times
+        scan_fn = _round_scan2 if k > 31 else _round_scan
         queued = [
-            _round_scan(
+            scan_fn(
                 codes_all, jnp.int64(r), jnp.int64(n_rounds), k, M,
                 n_chunks, cap, wide,
             )
@@ -336,12 +508,8 @@ def build_junctions_streamed(
     chunk_size: int = 1 << 22,
     n_rounds: int = 4,
 ) -> List[JunctionChr]:
-    """Bit-identical to construct.build_junctions with bounded device memory."""
-    if k > 31:
-        raise NotImplementedError(
-            "k > 31 (two-limb k-mer codes) is only carried by the "
-            "monolithic kernel (graph.construct.build_junctions)"
-        )
+    """Bit-identical to construct.build_junctions with bounded device memory.
+    31 < k <= 61 carries two-limb canonical codes through the host buckets."""
     if not seqs:
         return []
     empty = [
@@ -364,7 +532,9 @@ def build_junctions_streamed(
     # Software-pipelined: the device scans chunk i+1 (async dispatch) while
     # the host buckets chunk i's materialized results, so host bucketing
     # overlaps device compute instead of serializing with it.
-    buckets = [[] for _ in range(n_rounds)]  # (canon, packed, gpos) triples
+    # bucket rows: (canon_limbs..., packed, gpos); one limb for k <= 31
+    buckets = [[] for _ in range(n_rounds)]
+    two_limb = k > 31
     M = chunk_size
 
     def launch(start):
@@ -378,23 +548,33 @@ def build_junctions_streamed(
             block = np.concatenate(
                 [block, np.full(pad, alphabet.BAD_CODE, np.uint8)]
             )
+        if two_limb:
+            ch, cl, packed, positive = _chunk_scan2(jnp.asarray(block), k)
+            return ((ch, cl), packed, positive, start, end, m)
         canon, packed, positive = _chunk_scan(jnp.asarray(block), k)
-        return (canon, packed, positive, start, end, m)
+        return ((canon,), packed, positive, start, end, m)
 
     def absorb(pending):
-        canon_d, packed_d, positive_d, start, end, m = pending
-        canon = np.asarray(canon_d)[:m]
+        limbs_d, packed_d, positive_d, start, end, m = pending
+        limbs = [np.asarray(x)[:m] for x in limbs_d]
         packed = np.asarray(packed_d)[:m]
         positive = np.asarray(positive_d)[:m]
-        valid = canon != int(_INVALID_CANON)
+        valid = limbs[0] != int(_INVALID_CANON)
         gpos = np.arange(start, end, dtype=np.int64)
         pk = packed.astype(np.int32) | (positive.astype(np.int32) << 11)
-        rnd = (canon[valid] % n_rounds).astype(np.int64)
-        cv, pv, gv = canon[valid], pk[valid], gpos[valid]
+        if two_limb:
+            h = (
+                (limbs[0][valid] * int(_MIX)) ^ (limbs[1][valid] * int(_MIX2))
+            ) & 0x7FFFFFFFFFFFFFFF
+            rnd = h % n_rounds
+        else:
+            rnd = (limbs[0][valid] % n_rounds).astype(np.int64)
+        lv = [x[valid] for x in limbs]
+        pv, gv = pk[valid], gpos[valid]
         for r in range(n_rounds):
             mr = rnd == r
             if mr.any():
-                buckets[r].append((cv[mr], pv[mr], gv[mr]))
+                buckets[r].append((*(x[mr] for x in lv), pv[mr], gv[mr]))
 
     start = 1
     pending = None
@@ -411,23 +591,35 @@ def build_junctions_streamed(
     all_gpos: List[np.ndarray] = []
     all_first: List[np.ndarray] = []
     all_positive: List[np.ndarray] = []
+    n_limbs = 2 if two_limb else 1
     for r in range(n_rounds):
         if not buckets[r]:
             continue
-        canon = np.concatenate([b[0] for b in buckets[r]])
-        packed = np.concatenate([b[1] for b in buckets[r]])
-        gpos = np.concatenate([b[2] for b in buckets[r]])
-        n = len(canon)
+        limbs = [
+            np.concatenate([b[i] for b in buckets[r]]) for i in range(n_limbs)
+        ]
+        packed = np.concatenate([b[n_limbs] for b in buckets[r]])
+        gpos = np.concatenate([b[n_limbs + 1] for b in buckets[r]])
+        n = len(limbs[0])
         n_pad = max(4096, 1 << (n - 1).bit_length())
-        canon_p = np.full(n_pad, int(_INVALID_CANON), np.int64)
-        canon_p[:n] = canon
+        limb_p = [np.zeros(n_pad, np.int64) for _ in range(n_limbs)]
+        limb_p[0][:] = int(_INVALID_CANON)
+        for i in range(n_limbs):
+            limb_p[i][:n] = limbs[i]
         packed_p = np.zeros(n_pad, np.int32)
         packed_p[:n] = packed & 0x7FF
         gpos_p = np.zeros(n_pad, np.int64)
         gpos_p[:n] = gpos
-        isj, first = _round_analysis(
-            jnp.asarray(canon_p), jnp.asarray(packed_p), jnp.asarray(gpos_p)
-        )
+        if two_limb:
+            isj, first = _round_analysis2(
+                jnp.asarray(limb_p[0]), jnp.asarray(limb_p[1]),
+                jnp.asarray(packed_p), jnp.asarray(gpos_p),
+            )
+        else:
+            isj, first = _round_analysis(
+                jnp.asarray(limb_p[0]), jnp.asarray(packed_p),
+                jnp.asarray(gpos_p),
+            )
         isj = np.asarray(isj)[:n]
         first = np.asarray(first)[:n]
         keep = isj

@@ -245,9 +245,12 @@ def edge_of(tb: DeviceTables, c, i, s, fwd):
             jnp.int64
         )
 
+    # staged literal (np host constant); hoisted out of comp_at so tracing
+    # stages it once per edge_of call, not once per position
+    tbl = jnp.asarray(_COMP_TBL)
+
     def comp_at(p):  # complement(seq[p-1]), 'N' at the chromosome edge
         bb = byte_at(p - 1)
-        tbl = jnp.asarray(_COMP_TBL)  # staged literal (np host constant)
         return jnp.where(
             p > 0,
             jnp.where(tbl[bb] > 0, tbl[bb], ord("N")),

@@ -51,7 +51,6 @@ from sibeliaz_tpu.lcb.oracle import Bundle, Instance, LcbEngine
 BIG = int(1) << 60
 PHASE_LANES = 256
 VOTE_TIERS = ((64, 16), (I_CAP, 16), (I_CAP, 256))  # (instance cap, window)
-NEG_SENT = np.int64(1) << 58  # numpy, NOT jnp (device-constant lowering fetch)
 
 
 @dataclasses.dataclass

@@ -32,7 +32,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sibeliaz_tpu.core import alphabet
-from sibeliaz_tpu.graph.construct import _doubling_codes, _NO_EXT, _INVALID_CANON
+from sibeliaz_tpu.graph.construct import (
+    _doubling_codes,
+    _doubling_codes2,
+    _NO_EXT,
+    _INVALID_CANON,
+)
 from sibeliaz_tpu.graph.assemble import assign_ids, split_chromosomes
 from sibeliaz_tpu.io.dbg import JunctionChr
 
@@ -71,10 +76,21 @@ def _local_analysis(codes_u8, k: int, n_dev: int):
     valid_full = (defc[k:] - defc[:-k]) == k  # length L+2
     valid = valid_full[:L]
 
-    fwd_full, rc_full = _doubling_codes(codes, k)
-    fwd, rc = fwd_full[:L], rc_full[:L]
-    positive = fwd < rc
-    canon = jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON)
+    if k <= 31:
+        fwd_full, rc_full = _doubling_codes(codes, k)
+        fwd, rc = fwd_full[:L], rc_full[:L]
+        positive = fwd < rc
+        canon = (jnp.where(valid, jnp.minimum(fwd, rc), _INVALID_CANON),)
+    else:
+        # 31 < k <= 61: two-limb canonical codes, compared lexicographically
+        fh_f, fl_f, rh_f, rl_f = _doubling_codes2(codes, k)
+        fh, fl = fh_f[:L], fl_f[:L]
+        rh, rl = rh_f[:L], rl_f[:L]
+        positive = (fh < rh) | ((fh == rh) & (fl < rl))
+        canon = (
+            jnp.where(valid, jnp.where(positive, fh, rh), _INVALID_CANON),
+            jnp.where(valid, jnp.where(positive, fl, rl), jnp.int64(0)),
+        )
 
     pos_in_shard = jnp.arange(L)
     nxt_ok = definite[k : L + k]
@@ -108,6 +124,8 @@ def _local_analysis(codes_u8, k: int, n_dev: int):
 
 
 _MIX_SH = np.int64(-7046029254386353131)  # multiplicative owner hash (numpy, NOT jnp)
+# low-limb mix for two-limb (k > 31) owner hashing
+_MIX_SH2 = np.int64(-4417276706812531889)
 
 
 def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos,
@@ -115,16 +133,20 @@ def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos,
     """Stage 2: route occurrences to owner = hash(canon) mod n_dev via
     all_to_all, analyze, route verdicts back.  Returns per-position
     (is_junction, first_idx, overflow) aligned with the shard's local
-    order.
+    order.  `canon` is a tuple of int64 limbs (one for k <= 31, two
+    lexicographic base-2^62 limbs for 31 < k <= 61).
 
     The send matrix is [n_dev, cap] with cap ~= L/n_dev * slack (the
     capacity-factor layout) instead of the safe-for-any-skew [n_dev, L]:
     the owner hash balances buckets, invalid positions are dropped rather
     than routed, and an overflowing row raises the per-shard overflow flag
     so the caller can retry with a bigger factor."""
-    L = canon.shape[0]
-    valid = canon != _INVALID_CANON
-    mixed = (canon * _MIX_SH) & jnp.int64(0x7FFFFFFFFFFFFFFF)
+    L = canon[0].shape[0]
+    valid = canon[0] != _INVALID_CANON
+    mixed = canon[0] * _MIX_SH
+    if len(canon) > 1:
+        mixed = mixed ^ (canon[1] * _MIX_SH2)
+    mixed = mixed & jnp.int64(0x7FFFFFFFFFFFFFFF)
     owner = jnp.where(
         valid, (mixed % n_dev).astype(jnp.int32), jnp.int32(n_dev)
     )
@@ -142,7 +164,10 @@ def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos,
         m = jnp.full((n_dev, cap), fill, dtype=x.dtype)
         return m.at[owner_s, run_idx].set(x[order], mode="drop")
 
-    send_canon = scatter_rows(canon, _INVALID_CANON)
+    send_canon = [
+        scatter_rows(c, _INVALID_CANON if i == 0 else jnp.int64(0))
+        for i, c in enumerate(canon)
+    ]
     send_re = scatter_rows(right_ext.astype(jnp.int32), jnp.int32(_NO_EXT))
     send_le = scatter_rows(left_ext.astype(jnp.int32), jnp.int32(_NO_EXT))
     send_bd = scatter_rows(boundary.astype(jnp.int32), jnp.int32(0))
@@ -151,18 +176,30 @@ def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos,
     a2a = functools.partial(
         jax.lax.all_to_all, axis_name=_AXIS, split_axis=0, concat_axis=0, tiled=True
     )
-    rc_canon = a2a(send_canon).reshape(-1)
+    rc_canon = [a2a(c).reshape(-1) for c in send_canon]
     rc_re = a2a(send_re).reshape(-1)
     rc_le = a2a(send_le).reshape(-1)
     rc_bd = a2a(send_bd).reshape(-1)
     rc_gp = a2a(send_gp).reshape(-1)
 
-    n = rc_canon.shape[0]  # n_dev * cap
-    perm = jnp.argsort(rc_canon, stable=True)
-    canon_s = rc_canon[perm]
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
-    )
+    n = rc_canon[0].shape[0]  # n_dev * cap
+    if len(rc_canon) == 1:
+        perm = jnp.argsort(rc_canon[0], stable=True)
+        canon_s = rc_canon[0][perm]
+        seg_start = jnp.concatenate(
+            [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
+        )
+    else:
+        ch_s, cl_s, perm = jax.lax.sort(
+            (rc_canon[0], rc_canon[1], jnp.arange(n, dtype=jnp.int64)),
+            num_keys=2,
+        )
+        seg_start = jnp.concatenate(
+            [
+                jnp.ones(1, dtype=bool),
+                (ch_s[1:] != ch_s[:-1]) | (cl_s[1:] != cl_s[:-1]),
+            ]
+        )
     seg_id = jnp.cumsum(seg_start.astype(jnp.int64)) - 1
 
     def seg_max(x_sorted):
@@ -188,7 +225,7 @@ def _bucket_exchange(canon, right_ext, left_ext, boundary, global_pos,
     junction_class = (distinct_r > 1) | (distinct_l > 1) | boundary_any
 
     class_of = jnp.zeros(n, jnp.int64).at[perm].set(seg_id)
-    occ_junction = junction_class[class_of] & (rc_canon != _INVALID_CANON)
+    occ_junction = junction_class[class_of] & (rc_canon[0] != _INVALID_CANON)
     occ_first = first_of_class[class_of]
 
     # route verdicts back (inverse all_to_all restores [n_dev, cap] layout)
@@ -239,12 +276,8 @@ def _compiled(k: int, n_dev: int, length: int, mesh_devices: tuple,
 def build_junctions_sharded(
     seqs: Sequence[np.ndarray], k: int, devices=None
 ) -> List[JunctionChr]:
-    """Multi-device equivalent of graph.construct.build_junctions."""
-    if k > 31:
-        raise NotImplementedError(
-            "k > 31 (two-limb k-mer codes) is only carried by the "
-            "monolithic kernel (graph.construct.build_junctions)"
-        )
+    """Multi-device equivalent of graph.construct.build_junctions.
+    31 < k <= 61 routes two-limb canonical codes through the exchange."""
     if devices is None:
         devices = jax.devices()
     n_dev = len(devices)

@@ -233,12 +233,18 @@ class TestWideK:
                 construct.build_junctions(seqs, k),
             )
 
-    def test_streamed_and_sharded_reject_wide_k(self):
+    def test_streamed_carries_wide_k(self):
+        # round-3: two-limb codes flow through the memory-bounded paths too
+        # (full bit-equality coverage lives in test_streamed/test_sharded)
         from sibeliaz_tpu.graph import streamed
 
         seqs = self._pair(seed=4, n=4000)
-        with pytest.raises(NotImplementedError):
-            streamed.build_junctions_streamed_resident(seqs, 33)
+        assert_same(
+            construct.build_junctions(seqs, 33),
+            streamed.build_junctions_streamed_resident(
+                seqs, 33, chunk_size=2048, n_rounds=2
+            ),
+        )
 
     def test_config_accepts_wide_odd_k(self):
         from sibeliaz_tpu.config import Config
@@ -249,3 +255,27 @@ class TestWideK:
             Config(k=63)
         with pytest.raises(ValueError):
             Config(k=34)
+
+
+@pytest.mark.parametrize("k", [15, 25])
+def test_v7_cores_identical(k):
+    """The cummax (default) and associative-scan class-analysis cores must
+    produce identical outputs; the non-default core is selected only via
+    SZ_JUNCTION_CORE at import, so this is its standing regression cover."""
+    import jax.numpy as jnp
+
+    from sibeliaz_tpu.graph.construct import _v7_core_cummax, _v7_core_scan
+
+    rng = np.random.default_rng(77)
+    base = rng.integers(0, 4, size=6000).astype(np.uint8)
+    mut = base.copy()
+    idx = rng.random(len(mut)) < 0.01
+    mut[idx] = rng.integers(0, 4, size=int(idx.sum())).astype(np.uint8)
+    codes = np.concatenate(
+        [base, np.full(1, alphabet.BAD_CODE, np.uint8), mut]
+    )
+    a = _v7_core_cummax(jnp.asarray(codes), k)
+    b = _v7_core_scan(jnp.asarray(codes), k)
+    names = ["junction", "first", "idx", "packed", "seg_start"]
+    for name, x, y in zip(names, a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), name

@@ -64,3 +64,19 @@ def test_sharded_two_devices(devices):
         construct.build_junctions(seqs, 9),
         sharded.build_junctions_sharded(seqs, 9, devices=devices[:2]),
     )
+
+
+def test_sharded_wide_k_two_limb(devices):
+    """31 < k <= 61: two-limb canonical codes through the halo exchange and
+    hash-bucket all_to_all must match the single-device kernel exactly."""
+    rng = np.random.default_rng(31)
+    base = alphabet.decode(rng.integers(0, 4, size=2500).astype(np.uint8))
+    g2 = base.copy()
+    for p in np.flatnonzero(rng.random(len(g2)) < 0.01):
+        g2[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
+    seqs = [base, g2, alphabet.reverse_complement(base)]
+    for k in (33, 61):
+        single = construct.build_junctions(seqs, k)
+        assert sum(len(s.pos) for s in single) > 0
+        multi = sharded.build_junctions_sharded(seqs, k, devices=devices)
+        assert_same(single, multi)

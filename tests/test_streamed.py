@@ -120,3 +120,54 @@ def test_resident_rounds_overflow_retry():
     for a, b in zip(want, got):
         assert np.array_equal(a.pos, b.pos)
         assert np.array_equal(a.ids, b.ids)
+
+
+def test_streamed_wide_k_two_limb_bit_equal():
+    """31 < k <= 61 (two-limb canonical codes) through BOTH streamed paths
+    must match the monolithic two-limb kernel exactly (round-3 work: the
+    reference couples k and input size nowhere, sibeliaz:145)."""
+    from sibeliaz_tpu.graph.streamed import (
+        build_junctions_streamed,
+        build_junctions_streamed_resident,
+    )
+
+    rng = np.random.default_rng(51)
+    base = alphabet.decode(rng.integers(0, 4, size=12000).astype(np.uint8))
+    mut = base.copy()
+    idx = np.flatnonzero(rng.random(len(mut)) < 0.01)
+    mut[idx] = alphabet.decode(
+        rng.integers(0, 4, size=len(idx)).astype(np.uint8)
+    )
+    for p in rng.integers(0, len(mut), size=4):
+        mut[p] = ord("N")
+    seqs = [base, mut, alphabet.reverse_complement(base)[:5000]]
+    for k in (33, 61):
+        want = construct.build_junctions(seqs, k)
+        assert sum(len(w.pos) for w in want) > 0
+        got_res = build_junctions_streamed_resident(
+            seqs, k, chunk_size=4096, n_rounds=3
+        )
+        assert_same(want, got_res)
+        got_host = build_junctions_streamed(
+            seqs, k, chunk_size=4096, n_rounds=3
+        )
+        assert_same(want, got_host)
+
+
+def test_streamed_wide_k_wide_payload():
+    """Two-limb rounds with the wide (>=2^31-position) payload format."""
+    from sibeliaz_tpu.graph.streamed import build_junctions_streamed_resident
+
+    rng = np.random.default_rng(53)
+    base = alphabet.decode(rng.integers(0, 4, size=9000).astype(np.uint8))
+    mut = base.copy()
+    idx = np.flatnonzero(rng.random(len(mut)) < 0.02)
+    mut[idx] = alphabet.decode(
+        rng.integers(0, 4, size=len(idx)).astype(np.uint8)
+    )
+    seqs = [base, mut]
+    want = construct.build_junctions(seqs, 33)
+    got = build_junctions_streamed_resident(
+        seqs, 33, chunk_size=2048, n_rounds=2, force_wide=True
+    )
+    assert_same(want, got)
