@@ -1,6 +1,8 @@
-"""Timing comparison of the three LCB engines on one input.
+"""Timing comparison of the LCB engines on one input.
 
-Usage: python benchmarks/lcb_engines.py [length] [n_genomes]
+Usage: python benchmarks/lcb_engines.py [length] [n_genomes] [engines]
+  engines: comma-separated subset of native,oracle,tpu,tpu-fused
+           (default: all four)
 Prints a JSON line per engine: wall seconds for the LCB stage alone
 (junction table construction excluded), plus block count as a cross-check.
 The resident/tpu engine additionally reports its device-call count.
@@ -49,8 +51,13 @@ def main():
 
     records = construct.build_junctions(seqs, cfg.k)
 
+    engines = (
+        sys.argv[3].split(",")
+        if len(sys.argv) > 3
+        else ["native", "oracle", "tpu", "tpu-fused"]
+    )
     results = {}
-    for engine in ("native", "oracle", "tpu"):
+    for engine in engines:
         t0 = time.time()
         res = pipeline.find_blocks(
             seqs, names, cfg, records=records, engine=engine
@@ -61,9 +68,9 @@ def main():
             "engine": engine,
             "lcb_seconds": round(dt, 3),
             "blocks": res.blocks_found,
-        }))
-    assert results["native"] == results["oracle"] == results["tpu"], \
-        "engines disagree!"
+        }), flush=True)
+    gffs = set(results.values())
+    assert len(gffs) == 1, "engines disagree!"
     print("all engines byte-identical", file=sys.stderr)
 
 

@@ -27,7 +27,28 @@ def main(argv=None) -> int:
     p = sub.add_parser("maf2xmfa", help="convert MAF to XMFA (Mauve)")
     p.add_argument("maf", nargs="?", default=None)
 
-    p = sub.add_parser("synteny", help="merge LCBs into coarse synteny blocks")
+    p = sub.add_parser(
+        "synteny",
+        help="merge LCBs into coarse synteny blocks",
+        description=(
+            "maf2synteny-equivalent: iterative A-Bruijn simplification "
+            "(path compression + bulge removal to a fixpoint) over "
+            "(min_block, max_gap) stages of increasing scale."
+        ),
+        epilog=(
+            "Schedule provenance: the built-in 'fine' stages "
+            "(30,10) (100,100) (500,1000) (1000,5000) (5000,15000) and the "
+            "'loose' extension (10000,50000) (50000,500000) follow the "
+            "published Sibelia/maf2synteny multi-scale shape (Minkin et "
+            "al., WABI 2013; maf2synteny -s parameter-file format).  The "
+            "exact built-in constants of the reference binary could not be "
+            "byte-verified (the submodule is pinned but unmounted, "
+            "reference CMakeLists.txt:14-15); override with -s <file> to "
+            "match a specific maf2synteny build.  Behavior is pinned by "
+            "property tests (fixpoint idempotence, stage monotonicity, "
+            "strand symmetry — tests/test_synteny_properties.py)."
+        ),
+    )
     p.add_argument("input", help="blocks_coords.gff or alignment.maf")
     p.add_argument("-o", dest="outdir", default="synteny_out")
     p.add_argument("-b", dest="sizes", type=int, nargs="+", default=[5000])
