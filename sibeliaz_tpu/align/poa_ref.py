@@ -30,6 +30,8 @@ from __future__ import annotations
 import heapq
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 MATCH = 5
 MISMATCH = -4
 GAP = -8
@@ -109,15 +111,45 @@ class PoaGraph:
     def topo_nodes(self) -> List[int]:
         return [nid for g in self.topo_groups() for nid in self.groups[g]]
 
-    def align(self, seq) -> List[Tuple[Optional[int], Optional[int]]]:
-        """Global DP of seq against the graph; returns [(node|None, pos|None)]."""
+    def align(
+        self, seq, census: Optional[dict] = None, alt_ties: bool = False
+    ) -> List[Tuple[Optional[int], Optional[int]]]:
+        """Global DP of seq against the graph; returns [(node|None, pos|None)].
+
+        `census`, if given, accumulates tie statistics: census["ties"] is
+        incremented once per traceback decision (and end-node selection)
+        where MORE THAN ONE choice attains the optimal score.  A sequence
+        addition with zero ties has a unique optimal alignment under the
+        spoa scoring (-l 1 -r 1 -e -8, sibeliaz:67), i.e. its outcome is
+        forced by the scoring and cannot diverge between implementations;
+        only tie-carrying decisions are exposed to implementation-specific
+        tie-break order (the unmounted spoa binary's vs ours).
+
+        `alt_ties=True` applies the OPPOSITE tie preferences (insertion
+        before deletion before match; predecessors scanned in reverse;
+        end node = largest rank) — still an optimal traceback, used to
+        measure how much the output actually depends on tie-break order."""
         topo = self.topo_nodes()
         rank = {nid: r for r, nid in enumerate(topo)}
         N = len(topo)
         L = len(seq)
-        # H[i][r] over topo rank r; virtual source column handled separately.
-        H = [[NEG] * N for _ in range(L + 1)]
-        src = [GAP * i for i in range(L + 1)]  # H[i][source] = -8*i
+        # Column-vectorized fill (exact integer DP, same recurrence as the
+        # naive double loop, which survives as the traceback's cell
+        # re-derivation below).  Per topo rank r the full column H[:, r]
+        # follows from its predecessor columns: with
+        #   D[i] = max(diag_i, dele_i)   (pred columns only, vectorized)
+        # the insertion chain H[i][r] = max(D[i], H[i-1][r] + GAP) unrolls
+        # to a running maximum: H[i][r] = cummax(D - GAP*i)[i] + GAP*i
+        # (GAP < 0), one numpy accumulate per column instead of L Python
+        # steps.  The fill was the quadratic-Python bottleneck that made
+        # block-scale tie censuses infeasible.
+        seq_np = np.asarray(
+            bytearray(seq) if isinstance(seq, (bytes, bytearray)) else seq,
+            dtype=np.int64,
+        )
+        H = np.full((L + 1, N), NEG, dtype=np.int64)
+        src = GAP * np.arange(L + 1, dtype=np.int64)  # virtual source col
+        drift = GAP * np.arange(L + 1, dtype=np.int64)
 
         def pred_ranks(nid):
             ps = self.preds[nid]
@@ -125,71 +157,83 @@ class PoaGraph:
 
         for r, nid in enumerate(topo):
             prs = pred_ranks(nid)
-            best = src[0] if prs is None else max(H[0][pr] for pr in prs)
-            H[0][r] = best + GAP
-        for i in range(1, L + 1):
-            ch = int(seq[i - 1])
-            for r, nid in enumerate(topo):
-                s = MATCH if self.char[nid] == ch else MISMATCH
-                prs = pred_ranks(nid)
-                if prs is None:
-                    diag = src[i - 1] + s
-                    dele = src[i] + GAP
-                else:
-                    diag = max(H[i - 1][pr] for pr in prs) + s
-                    dele = max(H[i][pr] for pr in prs) + GAP
-                ins = H[i - 1][r] + GAP
-                H[i][r] = max(diag, dele, ins)
+            s = np.where(seq_np == self.char[nid], MATCH, MISMATCH)
+            if prs is None:
+                diag = src[:-1] + s          # rows 1..L
+                dele = src[1:] + GAP
+            else:
+                pred_best = H[:, prs[0]].copy()
+                for pr in prs[1:]:
+                    np.maximum(pred_best, H[:, pr], out=pred_best)
+                diag = pred_best[:-1] + s
+                dele = pred_best[1:] + GAP
+            D = np.empty(L + 1, dtype=np.int64)
+            D[0] = (src[0] if prs is None else pred_best[0]) + GAP
+            np.maximum(diag, dele, out=D[1:])
+            # insertion chain: running max with GAP drift
+            np.subtract(D, drift, out=D)
+            np.maximum.accumulate(D, out=D)
+            np.add(D, drift, out=D)
+            H[:, r] = D
 
-        # end at a sink node (no successors) with max score, smallest rank
+        # end at a sink node (no successors) with max score; smallest rank
+        # on ties (largest under alt_ties)
         sinks = [r for r, nid in enumerate(topo) if not self.succs[nid]]
-        best_r = max(sinks, key=lambda r: (H[L][r], -r))
-        # traceback
+        if alt_ties:
+            best_r = max(sinks, key=lambda r: (H[L][r], r))
+        else:
+            best_r = max(sinks, key=lambda r: (H[L][r], -r))
+        if census is not None:
+            n_best = sum(1 for r in sinks if H[L][r] == H[L][best_r])
+            if n_best > 1:
+                census["ties"] = census.get("ties", 0) + 1
+
+        # traceback: collect every choice attaining H[i][r], count ties,
+        # then apply the preference order (default: match > deletion >
+        # insertion, predecessors in list order — mirrored by the native
+        # engine; alt_ties reverses both)
         aln: List[Tuple[Optional[int], Optional[int]]] = []
         i, r = L, best_r
         while i > 0 or r is not None:
-            nid = topo[r] if r is not None else None
-            if r is not None:
-                ch = int(seq[i - 1]) if i > 0 else -1
-                s = MATCH if (i > 0 and self.char[nid] == ch) else MISMATCH
-                prs = pred_ranks(nid)
-                # match / mismatch
-                if i > 0:
-                    if prs is None:
-                        if H[i][r] == src[i - 1] + s:
-                            aln.append((nid, i - 1))
-                            i, r = i - 1, None
-                            continue
-                    else:
-                        hit = None
-                        for pr in prs:
-                            if H[i][r] == H[i - 1][pr] + s:
-                                hit = pr
-                                break
-                        if hit is not None:
-                            aln.append((nid, i - 1))
-                            i, r = i - 1, hit
-                            continue
-                # deletion (graph char, no seq char)
-                if prs is None:
-                    if H[i][r] == src[i] + GAP:
-                        aln.append((nid, None))
-                        r = None
-                        continue
-                else:
-                    hit = None
-                    for pr in prs:
-                        if H[i][r] == H[i][pr] + GAP:
-                            hit = pr
-                            break
-                    if hit is not None:
-                        aln.append((nid, None))
-                        r = hit
-                        continue
-                # insertion (seq char, no graph node)
+            if r is None:
                 aln.append((None, i - 1))
-                i = i - 1
+                i -= 1
                 continue
+            nid = topo[r]
+            ch = int(seq[i - 1]) if i > 0 else -1
+            s = MATCH if (i > 0 and self.char[nid] == ch) else MISMATCH
+            prs = pred_ranks(nid)
+            h = H[i][r]
+            # options: ("m", pred|None) consume seq char + node,
+            #          ("d", pred|None) consume node only,
+            #          ("i",) consume seq char only
+            opts: List[tuple] = []
+            if i > 0:
+                if prs is None:
+                    if h == src[i - 1] + s:
+                        opts.append(("m", None))
+                else:
+                    for pr in prs:
+                        if h == H[i - 1][pr] + s:
+                            opts.append(("m", pr))
+            if prs is None:
+                if h == src[i] + GAP:
+                    opts.append(("d", None))
+            else:
+                for pr in prs:
+                    if h == H[i][pr] + GAP:
+                        opts.append(("d", pr))
+            if i > 0 and h == H[i - 1][r] + GAP:
+                opts.append(("i",))
+            if census is not None and len(opts) > 1:
+                census["ties"] = census.get("ties", 0) + 1
+            pick = opts[-1] if alt_ties else opts[0]
+            if pick[0] == "m":
+                aln.append((nid, i - 1))
+                i, r = i - 1, pick[1]
+            elif pick[0] == "d":
+                aln.append((nid, None))
+                r = pick[1]
             else:
                 aln.append((None, i - 1))
                 i -= 1
@@ -246,4 +290,35 @@ def poa_msa(seqs: List) -> List[bytes]:
     g = PoaGraph()
     for s in seqs:
         g.add_sequence(s)
+    return g.msa()
+
+
+def poa_msa_with_census(seqs: List) -> Tuple[List[bytes], int]:
+    """poa_msa plus the block's tie census: the number of DP decisions
+    across all sequence additions where more than one traceback choice
+    attains the optimum.  ties == 0 means this block's optimal alignment
+    is UNIQUE under the spoa scoring, so its MSA cannot depend on
+    implementation tie-break order — the quantitative basis for the spoa
+    output-parity risk bound (the spoa binary itself is an unmounted
+    submodule, reference .gitmodules:1-9)."""
+    g = PoaGraph()
+    census = {"ties": 0}
+    for s in seqs:
+        if not g.char:
+            g.add_first(s)
+        else:
+            g.add_alignment(g.align(s, census=census), s)
+    return g.msa(), census["ties"]
+
+
+def poa_msa_alt_ties(seqs: List) -> List[bytes]:
+    """poa_msa under the OPPOSITE tie-break preferences — every choice is
+    still score-optimal, so diffing against poa_msa measures how much the
+    MSA bytes actually depend on tie order (the spoa-divergence risk)."""
+    g = PoaGraph()
+    for s in seqs:
+        if not g.char:
+            g.add_first(s)
+        else:
+            g.add_alignment(g.align(s, alt_ties=True), s)
     return g.msa()

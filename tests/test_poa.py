@@ -247,3 +247,58 @@ class TestExactBanding:
         monkeypatch.setenv("SZ_POA_BAND_MIN", "1")
         got = msa_mod.poa_msa_batch([seqs])[0]
         assert got == expect
+
+
+class TestTieCensus:
+    """spoa-divergence risk machinery: the tie census and the alt-tie
+    traceback (benchmarks/poa_tie_census.py is the characterization run;
+    committed result: benchmarks/results/poa_tie_census.json)."""
+
+    def test_identical_rows_are_tie_free_censuswise_stable(self):
+        from sibeliaz_tpu.align.poa_ref import (
+            poa_msa,
+            poa_msa_alt_ties,
+            poa_msa_with_census,
+        )
+
+        rows = [b"ACGTACGTAGGCTA"] * 3
+        msa, ties = poa_msa_with_census(rows)
+        assert msa == poa_msa(rows)
+        assert msa == [b"ACGTACGTAGGCTA"] * 3
+        # identical rows: every decision is a strict match maximum
+        assert ties == 0
+        assert poa_msa_alt_ties(rows) == msa
+
+    def test_zero_ties_implies_tie_order_independence(self):
+        """Whenever the census reports 0 ties, the alt-tie traceback must
+        produce byte-identical MSA rows (the core of the risk argument)."""
+        import numpy as np
+
+        from sibeliaz_tpu.align.poa_ref import (
+            poa_msa_alt_ties,
+            poa_msa_with_census,
+        )
+
+        rng = np.random.default_rng(3)
+        n_zero = 0
+        for _ in range(30):
+            src = rng.integers(0, 4, size=60).astype(np.uint8) + ord("A")
+            rows = []
+            for _ in range(3):
+                r = src.copy()
+                for p in np.flatnonzero(rng.random(len(r)) < 0.05):
+                    r[p] = ord("A") + (r[p] - ord("A") + 1) % 4
+                rows.append(bytes(r))
+            msa, ties = poa_msa_with_census(rows)
+            if ties == 0:
+                n_zero += 1
+                assert poa_msa_alt_ties(rows) == msa
+        assert n_zero > 0, "generator never produced a tie-free case"
+
+    def test_census_counts_engineered_tie(self):
+        from sibeliaz_tpu.align.poa_ref import poa_msa_with_census
+
+        # Aligning "A" against the graph A->A: match-first-then-delete and
+        # delete-first-then-match both score 5 - 8 — a genuine tie.
+        _, ties = poa_msa_with_census([b"AA", b"A"])
+        assert ties >= 1
