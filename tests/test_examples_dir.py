@@ -7,6 +7,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
@@ -102,3 +103,62 @@ def test_committed_maf_despells_to_inputs():
             )
         n_s += 1
     assert n_s > 0
+
+
+# ---- large example (reference-scale golden: examples/large/) ----
+
+LARGE = os.path.join(EXAMPLES, "large")
+sys.path.insert(0, LARGE)
+
+LARGE_SHA = {
+    "genome1.fa": "f44bc27bba29089c1f142796f0a4631131a8668908d83fb149aac67868e0c6cc",
+    "genome2.fa": "ea148275a6a76583ddd7eff23a66fb1d48c33a4d8110d51aa770de11f2d52a89",
+}
+
+
+def test_large_generator_deterministic(tmp_path):
+    """The 12 MB inputs are regenerated, not committed; their digests pin
+    the generator so the committed golden stays reproducible."""
+    import hashlib
+
+    import make_large_example
+
+    for g, recs in enumerate(make_large_example.build(), start=1):
+        path = tmp_path / f"genome{g}.fa"
+        fasta.write_fasta(str(path), recs)
+        digest = hashlib.sha256(path.read_bytes()).hexdigest()
+        assert digest == LARGE_SHA[f"genome{g}.fa"], f"genome{g}.fa drifted"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SIBELIAZ_SLOW_TESTS"),
+    reason="set SIBELIAZ_SLOW_TESTS=1 for the 12 Mbp large-example golden run",
+)
+def test_large_pipeline_reproduces_committed_gff(tmp_path):
+    import make_large_example
+
+    seqs, names = [], []
+    for recs in make_large_example.build():
+        for r in recs:
+            seqs.append(r.seq)
+            names.append(r.name)
+    cfg = Config(k=25, threads=4)
+    res = pipeline.find_blocks(seqs, names, cfg)
+    committed = open(
+        os.path.join(LARGE, "sibeliaz_out", "blocks_coords.gff")
+    ).read()
+    assert res.gff == committed
+    assert res.blocks_found == 1256
+
+    # reference binary parity on the same junction graph
+    records = construct.build_junctions(seqs, 25)
+    dbg_path = str(tmp_path / "graph.dbg")
+    dbg.write_dbg(dbg_path, records)
+    fa = str(tmp_path / "all.fa")
+    fasta.write_fasta(
+        fa, [fasta.FastaRecord(n, s) for n, s in zip(names, seqs)]
+    )
+    ref = reference_oracle.run_reference_lcb(
+        dbg_path, fa, str(tmp_path / "ref"), 25, threads=4
+    )
+    assert res.gff == ref
