@@ -10,7 +10,10 @@ tracking across rounds.
   ecoli16-k15               : 16 strains x 1 Mbp, k=15 (with -a exercised)
   yeast-k21-synteny         : 8 genomes x 1.5 Mbp, k=21 + synteny merge
   chromosome-k25-streamed   : 2 x 64 Mbp, k=25 through the memory-bounded
-                              streamed graph mode
+                              streamed graph mode (auto-routed)
+  chromosome-k25-256m       : 2 x 128 Mbp, k=25 (>=256 Mbp total)
+  chromosome-k33-crosscheck : 2 x 64 Mbp, k=33 two-limb; resident rounds
+                              vs host-bucketed bit-equality at scale
 
 Usage: python benchmarks/run_configs.py [config ...]   (default: fast set)
 """
@@ -102,11 +105,45 @@ def run_config(name):
         synteny.run("/tmp/bench_cfg.gff", "/tmp/bench_cfg_syn", [5000])
         extra["synteny"] = True
     elif name == "chromosome-k25-streamed":
+        # 128 Mbp pair; build_junctions auto-routes to the device-resident
+        # streamed rounds (the 2^27 bucket's monolithic plan exceeds HBM)
         seqs, names = synth(4, 2, 1, 64_000_000, mut=0.01, invert=False)
         cfg = Config(k=25, threads=threads)
-        records = streamed.build_junctions_streamed(
-            seqs, cfg.k, n_rounds=4
+        t_g = time.time()
+        records = construct.build_junctions(seqs, cfg.k)
+        extra["graph_seconds"] = round(time.time() - t_g, 2)
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
+    elif name == "chromosome-k25-256m":
+        # >=256 Mbp total (VERDICT round-2 item 6)
+        seqs, names = synth(5, 2, 1, 128_000_000, mut=0.01, invert=False)
+        cfg = Config(k=25, threads=threads)
+        t_g = time.time()
+        records = construct.build_junctions(seqs, cfg.k)
+        extra["graph_seconds"] = round(time.time() - t_g, 2)
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
+    elif name == "chromosome-k33-crosscheck":
+        # two-limb k at chromosome scale: the device-resident rounds and the
+        # host-bucketed streamed path are independent implementations; their
+        # bit-equality at 128 Mbp is the at-scale evidence for k>31 (the
+        # monolithic kernel cannot run at this bucket to serve as oracle)
+        seqs, names = synth(4, 2, 1, 64_000_000, mut=0.01, invert=False)
+        cfg = Config(k=33, threads=threads)
+        t_g = time.time()
+        records = streamed.build_junctions_streamed_resident(
+            seqs, cfg.k, n_rounds=8
         )
+        extra["graph_seconds"] = round(time.time() - t_g, 2)
+        t_g = time.time()
+        records_host = streamed.build_junctions_streamed(
+            seqs, cfg.k, n_rounds=8
+        )
+        extra["hostpath_graph_seconds"] = round(time.time() - t_g, 2)
+        same = len(records) == len(records_host) and all(
+            np.array_equal(a.pos, b.pos) and np.array_equal(a.ids, b.ids)
+            for a, b in zip(records, records_host)
+        )
+        extra["resident_eq_hostbucketed"] = bool(same)
+        assert same, "k=33 streamed paths disagree at chromosome scale"
         res = pipeline.find_blocks(seqs, names, cfg, records=records)
     else:
         raise SystemExit(f"unknown config {name}")
