@@ -34,6 +34,9 @@ Replicated decision rules (citations into /root/reference/SibeliaZ-LCB/):
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
+import time
 from bisect import bisect_right
 from typing import Dict, List, Optional, Tuple
 
@@ -640,13 +643,25 @@ class LcbEngine:
         make_bundles, enumerated on device)."""
         if bundles is None:
             bundles = self.make_bundles()
+        # SZ_LCB_PROGRESS=1: per-phase stderr timing, so a long (or killed)
+        # run still yields phase-rate data for the engine benchmarks
+        _prog = os.environ.get("SZ_LCB_PROGRESS")
+        _t0 = time.time()
         phase = 0
         while phase < len(bundles):
             limit = min(phase + phase_size, len(bundles))
+            _tp = time.time()
             if process_batch_fn is None:
                 results = [self.process(bundles[i]) for i in range(phase, limit)]
             else:
                 results = process_batch_fn(self, bundles[phase:limit])
+            if _prog:
+                print(
+                    f"[lcb +{time.time() - _t0:7.1f}s] phase {phase}-{limit}"
+                    f"/{len(bundles)} explored in {time.time() - _tp:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
             invalid: set = set()
             for idx in range(phase, limit):
                 instances = results[idx - phase]
