@@ -159,11 +159,18 @@ def _watchdog_main():
     delay = DEADLINE_S - (time.time() - T0) - 8.0
     if delay > 0:
         time.sleep(delay)
-    with _WATCHDOG_LOCK:
-        if _emit_best_locked():
-            log("watchdog: deadline reached, emitted best measured pass")
-    sys.stdout.flush()
-    os._exit(0)
+    while True:
+        with _WATCHDOG_LOCK:
+            if _WATCHDOG_STATE["best"] is not None:
+                if _emit_best_locked():
+                    log("watchdog: deadline reached, emitted best pass")
+                sys.stdout.flush()
+                os._exit(0)
+        # Pass 1 still in flight: exiting now would discard a measurement
+        # the caller's own (longer) kill limit might still accept — keep
+        # waiting and emit the moment a pass lands.
+        log("watchdog: deadline reached but no pass measured yet; holding")
+        time.sleep(15)
 
 
 def main():
