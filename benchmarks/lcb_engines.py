@@ -47,9 +47,24 @@ def main():
     seqs, names = synth(7, n_genomes, length)
     cfg = Config(k=15, threads=min(os.cpu_count() or 1, 8))
 
-    from sibeliaz_tpu.graph import construct
+    # The engines are the thing under measurement; the junction records are
+    # setup.  SZ_LCB_BENCH_DBG caches them as a .dbg artifact so repeated
+    # engine runs (and runs on a loaded tunnel) skip the graph stage.
+    records = None
+    dbg_path = os.environ.get("SZ_LCB_BENCH_DBG")
+    if dbg_path and os.path.exists(dbg_path):
+        from sibeliaz_tpu.io import dbg as dbg_io
 
-    records = construct.build_junctions(seqs, cfg.k)
+        records = dbg_io.read_dbg(dbg_path)
+        print(f"records loaded from {dbg_path}", file=sys.stderr, flush=True)
+    if records is None:
+        from sibeliaz_tpu.graph import construct
+
+        records = construct.build_junctions(seqs, cfg.k)
+        if dbg_path:
+            from sibeliaz_tpu.io import dbg as dbg_io
+
+            dbg_io.write_dbg(dbg_path, records)
 
     engines = (
         sys.argv[3].split(",")
