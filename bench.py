@@ -61,10 +61,13 @@ N_STRAINS = 16
 STRAIN_LEN = 1_000_000
 K = 15
 
-# Print the JSON line by this wall-clock deadline even if only a
-# cold-compile-inflated pass exists.  The round-1 driver killed bench.py at
-# 600 s with nothing printed; stay far inside that.
-DEADLINE_S = float(os.environ.get("SIBELIAZ_BENCH_DEADLINE", "420"))
+# Print the JSON line by this wall-clock deadline.  The driver kills
+# bench.py at 600 s; 560 leaves margin while tolerating a ~500 s pass-1
+# executable load (observed under heavy tunnel load) — the watchdog holds
+# for pass 1 and the warm-pass gate still fits one ~4 s warm pass after a
+# late pass 1 because the gate uses the warm cost (LCB tail + dispatch),
+# not the load-inflated pass-1 total.
+DEADLINE_S = float(os.environ.get("SIBELIAZ_BENCH_DEADLINE", "560"))
 T0 = time.time()
 
 
