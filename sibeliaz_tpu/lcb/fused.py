@@ -331,9 +331,16 @@ def process_phase_fused(
     oracle: List[int] = []
     n_disp = 0
     steps0 = 0
+    # SZ_FUSED_LANE_CHUNK caps lanes per dispatch.  The fused program is
+    # selftest-proven at L=32 but faults the TPU worker at L=256 on this
+    # environment (benchmarks/results/lcb_engines.json); a small cap trades
+    # dispatch count for the proven shape class.
+    lane_cap = int(os.environ.get("SZ_FUSED_LANE_CHUNK", "0") or 0)
     for t, (CAP, W, IC, PC) in enumerate(tiers):
         last = t == len(tiers) - 1
         chunk = max(8, min(PHASE_LANES, VOTE_BUDGET // (CAP * W)))
+        if lane_cap:
+            chunk = min(chunk, lane_cap)
         escalate: List[int] = []
         for lo in range(0, len(work), chunk):
             group = work[lo:lo + chunk]
