@@ -211,7 +211,13 @@ def _extract_arrays(g: PoaGraph, n_max: int):
     return topo, node_char, pred_idx, pred_ok, sink
 
 
-HBM_BUDGET = 6 << 30  # bytes of device scratch per dispatch (H + dirs)
+# Bytes of MODELED scratch (H + dirs) per dispatch.  The true XLA
+# allocation plan runs ~2.6x the model (measured on v5e: a 6 GB-modeled
+# bucket compiled to a 15.84 GB plan and OOMed a 15.75 GB chip — the
+# while_loop double-buffers H and the traceback phase adds its own
+# scratch), so the budget is set to keep the TRUE plan near 10.5 GB with
+# headroom for the resident inputs.
+HBM_BUDGET = 4 << 30
 
 
 def poa_msa_batch_tpu(
