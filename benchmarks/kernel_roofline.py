@@ -68,16 +68,23 @@ def main():
     capacity = n // 3
     kern = jax.jit(junction_records_compact_v9, static_argnums=(1, 2))
 
-    # warm (compile)
-    jax.block_until_ready(bare_sort(canon, packed, idx))
-    jax.block_until_ready(kern(codes, k, capacity))
+    # block_until_ready does NOT await remote execution on this
+    # environment's tunneled backend (measured: 0.1 ms "completion" of a
+    # 16M-row sort); fetch one scalar to force a real sync
+    def sync_sort():
+        out = bare_sort(canon, packed, idx)
+        np.asarray(out[2][:1])
 
-    t_sort = best_time(
-        lambda: jax.block_until_ready(bare_sort(canon, packed, idx))
-    )
-    t_kern = best_time(
-        lambda: jax.block_until_ready(kern(codes, k, capacity))
-    )
+    def sync_kern():
+        out = kern(codes, k, capacity)
+        np.asarray(out[0])  # count scalar
+
+    # warm (compile)
+    sync_sort()
+    sync_kern()
+
+    t_sort = best_time(sync_sort)
+    t_kern = best_time(sync_kern)
 
     # HBM-stream model: a bitonic-style sort does ~log2(n)*(log2(n)+1)/2
     # merge passes; each pass streams key+payload (8+4+8 B) read+write.

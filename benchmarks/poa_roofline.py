@@ -91,7 +91,10 @@ def main():
 
     def run():
         out = tpu_poa._dp_tb_batch(*args, n_max, P)
-        jax.block_until_ready(out)
+        # block_until_ready does NOT await remote execution on this
+        # environment's tunneled backend (measured: sub-ms "completion" of
+        # a 33M-cell DP); a real value fetch is the only reliable sync
+        np.asarray(out[2])
 
     run()  # compile
     t = best_time(run)
