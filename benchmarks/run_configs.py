@@ -106,12 +106,17 @@ def run_config(name):
         extra["synteny"] = True
     elif name == "chromosome-k25-streamed":
         # 128 Mbp pair; build_junctions auto-routes to the device-resident
-        # streamed rounds (the 2^27 bucket's monolithic plan exceeds HBM)
+        # streamed rounds (the 2^27 bucket's monolithic plan exceeds HBM).
+        # Pass 1 absorbs the per-process compile/executable-load costs;
+        # pass 2 is the steady-state graph number.
         seqs, names = synth(4, 2, 1, 64_000_000, mut=0.01, invert=False)
         cfg = Config(k=25, threads=threads)
         t_g = time.time()
         records = construct.build_junctions(seqs, cfg.k)
         extra["graph_seconds"] = round(time.time() - t_g, 2)
+        t_g = time.time()
+        records = construct.build_junctions(seqs, cfg.k)
+        extra["graph_warm_seconds"] = round(time.time() - t_g, 2)
         res = pipeline.find_blocks(seqs, names, cfg, records=records)
     elif name == "chromosome-k25-256m":
         # >=256 Mbp total (VERDICT round-2 item 6)
@@ -120,6 +125,9 @@ def run_config(name):
         t_g = time.time()
         records = construct.build_junctions(seqs, cfg.k)
         extra["graph_seconds"] = round(time.time() - t_g, 2)
+        t_g = time.time()
+        records = construct.build_junctions(seqs, cfg.k)
+        extra["graph_warm_seconds"] = round(time.time() - t_g, 2)
         res = pipeline.find_blocks(seqs, names, cfg, records=records)
     elif name == "chromosome-k33-crosscheck":
         # two-limb k at chromosome scale: the device-resident rounds and the
