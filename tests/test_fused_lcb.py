@@ -97,3 +97,19 @@ def test_fused_chunking_independent(monkeypatch):
         return [(i.c, i.s, i.fi, i.bi) for i in insts]
 
     assert [key(x) for x in got] == [key(x) for x in want]
+
+
+def test_fused_lane_chunk_env_independent(monkeypatch):
+    """SZ_FUSED_LANE_CHUNK (round-3 mitigation knob for the large-L TPU
+    worker fault) must be result-invariant: lanes are independent, so a
+    hard cap on lanes-per-dispatch only changes dispatch count."""
+    _, _, _, table, eng = build(524, length=1000, mut=0.03)
+    bundles = eng.make_bundles()[:24]
+    want = process_phase_fused(eng, bundles)
+    monkeypatch.setenv("SZ_FUSED_LANE_CHUNK", "8")
+    got = process_phase_fused(eng, bundles)
+
+    def key(insts):
+        return [(i.c, i.s, i.fi, i.bi) for i in insts]
+
+    assert [key(x) for x in got] == [key(x) for x in want]
