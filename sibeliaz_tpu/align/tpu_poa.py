@@ -243,6 +243,14 @@ def poa_msa_batch_tpu(
     for L, members in sorted(buckets.items()):
         n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
         per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)  # H + dirs
+        if per_block > HBM_BUDGET:
+            # even ONE such block's true allocation plan exceeds the chip
+            # (measured: a modeled-9.4G single-block dispatch compiled to a
+            # 15.84G plan and OOMed a 15.75G v5e) — route the bucket to the
+            # native fallback instead of forcing a doomed dispatch
+            for b in members:
+                all_states[b].fallback = True
+            continue
         # round the cap DOWN to a power of two: _run_bucket pads batches up
         # to a power of two, which must never exceed the memory budget
         b_cap = max(1, int(HBM_BUDGET // per_block))

@@ -53,3 +53,20 @@ def test_mixed_copy_counts():
     expect = [poa_ref.poa_msa(b) for b in blocks]
     got = tpu_poa.poa_msa_batch_tpu(blocks)
     assert got == expect
+
+
+def test_oversized_single_block_falls_back():
+    """A block whose single-dispatch DP plan exceeds the HBM budget must
+    return None (native fallback) instead of dispatching — a modeled-9.4G
+    single-block dispatch compiled to a 15.84G plan and OOMed the chip."""
+    import numpy as np
+
+    from sibeliaz_tpu.align import tpu_poa
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (rng.integers(0, 4, size=30_000).astype(np.uint8) + ord("A"))
+        for _ in range(2)
+    ]
+    out = tpu_poa.poa_msa_batch_tpu([rows])
+    assert out == [None]
