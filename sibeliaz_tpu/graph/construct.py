@@ -446,6 +446,70 @@ def _v7_core_cummax(codes_u8: jnp.ndarray, k: int):
     return junction_s, first_s, idx_s, packed_s, seg_start
 
 
+def _v7_core_cummax2(codes_u8: jnp.ndarray, k: int):
+    """Leaner cummax core (round 3): same outputs as _v7_core_cummax with
+    ~4x less running-maximum traffic.
+
+    The v7 formulation spreads all nine per-bit class facts back to every
+    member with a [9, n] int64 reversed cummax (~144 B/row).  But members
+    only need the one-bit JUNCTION verdict — so compute the nine
+    "class contains bit c" facts AT THE CLASS END ROW ONLY (where the
+    forward last-set ladder already has the full class), reduce them to
+    the junction bit there, and spread just that bit with a single packed
+    int64 reversed cummax.  The last-set ladder itself narrows to int32
+    (ranks fit: the monolithic bucket is HBM-capped far below 2^31).
+    Differential-tested identical to _v7_core_cummax."""
+    n = codes_u8.shape[0]
+    keys, packed, idx = _prepare_packed(codes_u8, k)
+
+    *keys_s, packed_s, idx_s = jax.lax.sort(
+        (*keys, packed, idx), num_keys=len(keys), is_stable=True
+    )
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), keys_s[0][1:] != keys_s[0][:-1]]
+    )
+    for ks in keys_s[1:]:
+        seg_start = seg_start | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), ks[1:] != ks[:-1]]
+        )
+    invalid_s = keys_s[0] == _INVALID_CANON
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
+
+    rank32 = jnp.arange(n, dtype=jnp.int32)
+    start_rank = jax.lax.cummax(jnp.where(seg_start, rank32, -1))
+    shifts = jnp.array([0, 1, 2, 3, 5, 6, 7, 8, 10], dtype=jnp.int32)
+    bits = ((packed_s[None, :] >> shifts[:, None]) & 1) > 0  # [9, n]
+    last_set = jax.lax.cummax(
+        jnp.where(bits, rank32[None, :], jnp.int32(-1)), axis=1
+    )
+    # class facts, valid at end rows (start_rank there = own class start)
+    has_end = last_set >= start_rank[None, :]  # [9, n]
+    distinct_r = jnp.sum(has_end[0:4].astype(jnp.int32), axis=0)
+    distinct_l = jnp.sum(has_end[4:8].astype(jnp.int32), axis=0)
+    jbit = (distinct_r > 1) | (distinct_l > 1) | has_end[8]
+    # spread the junction bit from each class end back to its members:
+    # pack (n-1-rank) | bit so the reversed cummax picks the nearest
+    # end row at-or-after each position (exactly one end per class)
+    vp = jnp.where(
+        seg_end,
+        ((jnp.int64(n - 1) - rank32.astype(jnp.int64)) << 1)
+        | jbit.astype(jnp.int64),
+        jnp.int64(-1),
+    )
+    spread = jax.lax.cummax(vp[::-1])[::-1]
+    junction_s = ((spread & 1) > 0) & ~invalid_s
+
+    rank = jnp.arange(n, dtype=jnp.int64)
+    M = jnp.int64(1) << 32
+    first_s = (
+        jax.lax.cummax(
+            jnp.where(seg_start, rank * M + idx_s.astype(jnp.int64), -1)
+        )
+        % M
+    ).astype(jnp.int32)
+    return junction_s, first_s, idx_s, packed_s, seg_start
+
+
 def _popcount4(x: jnp.ndarray) -> jnp.ndarray:
     """Number of set bits among the low 4 bits of x (int32)."""
     return (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
@@ -523,11 +587,12 @@ def _v7_core_scan(codes_u8: jnp.ndarray, k: int):
 # reduce-window and compile in 64 s at 2^22 / 128 s at 2^24 with nearly
 # the same runtime (sorts dominate both cores).  SZ_JUNCTION_CORE=scan
 # re-enables the scan core where compile time is irrelevant.
-_v7_core = (
-    _v7_core_scan
-    if os.environ.get("SZ_JUNCTION_CORE", "cummax") == "scan"
-    else _v7_core_cummax
-)
+_CORES = {
+    "cummax": _v7_core_cummax,
+    "cummax2": _v7_core_cummax2,
+    "scan": _v7_core_scan,
+}
+_v7_core = _CORES[os.environ.get("SZ_JUNCTION_CORE", "cummax")]
 
 
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))

@@ -264,7 +264,7 @@ def test_v7_cores_identical(k):
     SZ_JUNCTION_CORE at import, so this is its standing regression cover."""
     import jax.numpy as jnp
 
-    from sibeliaz_tpu.graph.construct import _v7_core_cummax, _v7_core_scan
+    from sibeliaz_tpu.graph.construct import _CORES
 
     rng = np.random.default_rng(77)
     base = rng.integers(0, 4, size=6000).astype(np.uint8)
@@ -274,8 +274,11 @@ def test_v7_cores_identical(k):
     codes = np.concatenate(
         [base, np.full(1, alphabet.BAD_CODE, np.uint8), mut]
     )
-    a = _v7_core_cummax(jnp.asarray(codes), k)
-    b = _v7_core_scan(jnp.asarray(codes), k)
+    outs = {name: fn(jnp.asarray(codes), k) for name, fn in _CORES.items()}
+    ref = outs.pop("cummax")
     names = ["junction", "first", "idx", "packed", "seg_start"]
-    for name, x, y in zip(names, a, b):
-        assert np.array_equal(np.asarray(x), np.asarray(y)), name
+    for other, got in outs.items():
+        for name, x, y in zip(names, ref, got):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), (
+                other, name,
+            )
