@@ -579,20 +579,22 @@ def _v7_core_scan(codes_u8: jnp.ndarray, k: int):
     return junction_s, first_s, idx_s, packed_s, seg_start
 
 
-# Default core: cummax.  The scan core's two lax.associative_scan trees
-# stream ~2x less non-sort traffic, but their slice/concat recursion is
-# compile-hostile on this toolchain: XLA compile time grows ~4x per input
-# doubling (measured: 63 s at 2^20, 270 s at 2^21, >500 s at 2^22), which
-# is what timed out the round-1 driver bench.  The cummax ladders lower to
-# reduce-window and compile in 64 s at 2^22 / 128 s at 2^24 with nearly
-# the same runtime (sorts dominate both cores).  SZ_JUNCTION_CORE=scan
-# re-enables the scan core where compile time is irrelevant.
+# Default core: cummax2 (round 3) — class facts at end rows + one-bit
+# spread; measured on v5e at 2^24: 0.316 s vs the v7 cummax core's
+# 1.029 s (53.1M vs 16.3M positions/s; the bare 3-operand sort is
+# 0.106 s, so the kernel sits at 2.99x its sort bound).  The older
+# cores stay selectable: "cummax" is the v7 [9, n] spread formulation;
+# "scan"'s two lax.associative_scan trees stream the least but their
+# slice/concat recursion is compile-hostile on this toolchain (XLA
+# compile time grows ~4x per input doubling — 63 s at 2^20, >500 s at
+# 2^22), which is what timed out the round-1 driver bench.  All three
+# are differential-tested identical (tests/test_graph.py).
 _CORES = {
     "cummax": _v7_core_cummax,
     "cummax2": _v7_core_cummax2,
     "scan": _v7_core_scan,
 }
-_v7_core = _CORES[os.environ.get("SZ_JUNCTION_CORE", "cummax")]
+_v7_core = _CORES[os.environ.get("SZ_JUNCTION_CORE", "cummax2")]
 
 
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
