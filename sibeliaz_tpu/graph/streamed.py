@@ -139,73 +139,99 @@ def _chunk_scan2(codes_u8: jnp.ndarray, k: int):
 @jax.jit
 def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
     """Per-class junction predicates over one round's records (padded with
-    _INVALID_CANON rows).  Returns (is_junction, first_gpos) per record."""
+    _INVALID_CANON rows).  Returns (is_junction, first_gpos) per record.
+
+    Round-3 formulation (the construct._v7_core_cummax2 pattern, which
+    measured 3.25x over segment/spread formulations on the monolithic
+    kernel): stable payload-carrying sort, int32 last-set ladders, the
+    nine class facts evaluated at class END rows only, the one-bit
+    junction verdict spread back with a single packed reversed cummax,
+    and class-first gpos via a gather from the class-start rank (gather
+    because gpos may exceed 2^32 on the >=4 Gbp host-bucketed path, so it
+    cannot ride a packed cummax).  Output-identical to the old
+    argsort + segment_max/segment_min version (streamed paths are
+    bit-equality-tested against the monolithic kernel)."""
     n = canon.shape[0]
-    perm = jnp.argsort(canon, stable=True)
-    canon_s = canon[perm]
+    row = jnp.arange(n, dtype=jnp.int64)
+    canon_s, perm, packed_s, gpos_s = jax.lax.sort(
+        (canon, row, packed, gpos), num_keys=2
+    )
     seg_start = jnp.concatenate(
         [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
     )
-    seg_id = jnp.cumsum(seg_start.astype(jnp.int64)) - 1
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
 
-    def seg_max(x):
-        return jax.ops.segment_max(
-            x, seg_id, num_segments=n, indices_are_sorted=True
-        )
-
-    packed_s = packed[perm]
-    distinct_r = jnp.zeros(n, jnp.int32)
-    distinct_l = jnp.zeros(n, jnp.int32)
-    for c in range(4):
-        distinct_r += seg_max((packed_s >> c) & 1)
-        distinct_l += seg_max((packed_s >> (c + 5)) & 1)
-    boundary_any = seg_max((packed_s >> 10) & 1) > 0
-    junction_class = (distinct_r > 1) | (distinct_l > 1) | boundary_any
-
-    first_of_class = jax.ops.segment_min(
-        gpos[perm], seg_id, num_segments=n, indices_are_sorted=True
+    rank32 = jnp.arange(n, dtype=jnp.int32)
+    start_rank = jax.lax.cummax(jnp.where(seg_start, rank32, -1))
+    shifts = jnp.array([0, 1, 2, 3, 5, 6, 7, 8, 10], dtype=jnp.int32)
+    bits = ((packed_s[None, :] >> shifts[:, None]) & 1) > 0  # [9, n]
+    last_set = jax.lax.cummax(
+        jnp.where(bits, rank32[None, :], jnp.int32(-1)), axis=1
     )
-    class_of = jnp.zeros(n, jnp.int64).at[perm].set(seg_id)
-    isj = junction_class[class_of] & (canon != _INVALID_CANON)
-    return isj, first_of_class[class_of]
+    has_end = last_set >= start_rank[None, :]  # valid at end rows
+    distinct_r = jnp.sum(has_end[0:4].astype(jnp.int32), axis=0)
+    distinct_l = jnp.sum(has_end[4:8].astype(jnp.int32), axis=0)
+    jbit = (distinct_r > 1) | (distinct_l > 1) | has_end[8]
+    vp = jnp.where(
+        seg_end,
+        ((jnp.int64(n - 1) - rank32.astype(jnp.int64)) << 1)
+        | jbit.astype(jnp.int64),
+        jnp.int64(-1),
+    )
+    spread = jax.lax.cummax(vp[::-1])[::-1]
+    isj_s = ((spread & 1) > 0) & (canon_s != _INVALID_CANON)
+    # stable sort keeps ascending insertion (= gpos) order within a class,
+    # so the class minimum gpos sits at the class-start rank
+    first_s = jnp.take(gpos_s, start_rank)
+
+    isj = jnp.zeros(n, bool).at[perm].set(isj_s)
+    first = jnp.zeros(n, jnp.int64).at[perm].set(first_s)
+    return isj, first
 
 
 @jax.jit
 def _round_analysis2(ch, cl, packed, gpos):
     """Two-limb variant of _round_analysis: class identity is the
     lexicographic (hi, lo) pair, so the grouping sort carries two keys and
-    segment starts compare both limbs."""
+    segment starts compare both limbs.  Same round-3 end-row/one-bit-
+    spread formulation as _round_analysis."""
     n = ch.shape[0]
     row = jnp.arange(n, dtype=jnp.int64)
-    ch_s, cl_s, perm = jax.lax.sort((ch, cl, row), num_keys=2)
+    ch_s, cl_s, perm, packed_s, gpos_s = jax.lax.sort(
+        (ch, cl, row, packed, gpos), num_keys=3
+    )
     seg_start = jnp.concatenate(
         [
             jnp.ones(1, dtype=bool),
             (ch_s[1:] != ch_s[:-1]) | (cl_s[1:] != cl_s[:-1]),
         ]
     )
-    seg_id = jnp.cumsum(seg_start.astype(jnp.int64)) - 1
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
 
-    def seg_max(x):
-        return jax.ops.segment_max(
-            x, seg_id, num_segments=n, indices_are_sorted=True
-        )
-
-    packed_s = packed[perm]
-    distinct_r = jnp.zeros(n, jnp.int32)
-    distinct_l = jnp.zeros(n, jnp.int32)
-    for c in range(4):
-        distinct_r += seg_max((packed_s >> c) & 1)
-        distinct_l += seg_max((packed_s >> (c + 5)) & 1)
-    boundary_any = seg_max((packed_s >> 10) & 1) > 0
-    junction_class = (distinct_r > 1) | (distinct_l > 1) | boundary_any
-
-    first_of_class = jax.ops.segment_min(
-        gpos[perm], seg_id, num_segments=n, indices_are_sorted=True
+    rank32 = jnp.arange(n, dtype=jnp.int32)
+    start_rank = jax.lax.cummax(jnp.where(seg_start, rank32, -1))
+    shifts = jnp.array([0, 1, 2, 3, 5, 6, 7, 8, 10], dtype=jnp.int32)
+    bits = ((packed_s[None, :] >> shifts[:, None]) & 1) > 0
+    last_set = jax.lax.cummax(
+        jnp.where(bits, rank32[None, :], jnp.int32(-1)), axis=1
     )
-    class_of = jnp.zeros(n, jnp.int64).at[perm].set(seg_id)
-    isj = junction_class[class_of] & (ch != _INVALID_CANON)
-    return isj, first_of_class[class_of]
+    has_end = last_set >= start_rank[None, :]
+    distinct_r = jnp.sum(has_end[0:4].astype(jnp.int32), axis=0)
+    distinct_l = jnp.sum(has_end[4:8].astype(jnp.int32), axis=0)
+    jbit = (distinct_r > 1) | (distinct_l > 1) | has_end[8]
+    vp = jnp.where(
+        seg_end,
+        ((jnp.int64(n - 1) - rank32.astype(jnp.int64)) << 1)
+        | jbit.astype(jnp.int64),
+        jnp.int64(-1),
+    )
+    spread = jax.lax.cummax(vp[::-1])[::-1]
+    isj_s = ((spread & 1) > 0) & (ch_s != _INVALID_CANON)
+    first_s = jnp.take(gpos_s, start_rank)
+
+    isj = jnp.zeros(n, bool).at[perm].set(isj_s)
+    first = jnp.zeros(n, jnp.int64).at[perm].set(first_s)
+    return isj, first
 
 
 # ---------------------------------------------------------------------------
