@@ -352,8 +352,13 @@ def selftest(print_json=True):
         log(f"device POA errored: {e}")
 
     results["ok"] = bool(ok)
-    with open(os.path.join(os.path.dirname(__file__), "SELFTEST.json"), "w") as f:
+    # atomic write: the watchdog may os._exit mid-run; a half-written
+    # artifact must never replace a valid one
+    path = os.path.join(os.path.dirname(__file__), "SELFTEST.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(results, f, indent=1)
+    os.replace(tmp, path)
     if print_json:
         print(json.dumps(results))
     else:

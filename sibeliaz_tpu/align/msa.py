@@ -138,7 +138,7 @@ def align_blocks_to_maf(
     cmd: str = "",
     chunks: int = 256,
     threads: int = 1,
-    budget_bytes: int = 2 << 30,
+    budget_bytes: int | None = 2 << 30,
     version_stamp: str = "sibeliaz v1.2.7",
     engine: str = "native",
 ) -> List[int]:
@@ -147,7 +147,14 @@ def align_blocks_to_maf(
 
     engine="native" runs the OpenMP C++ POA; engine="tpu" runs the batched
     device DP (align/tpu_poa.py) with native fallback for blocks that
-    exceed its padded budgets — both produce identical MSAs (tested)."""
+    exceed its padded budgets — both produce identical MSAs (tested).
+
+    budget_bytes is the -f memory budget (None = per-engine defaults): it
+    caps the native engine's per-process DP memory and, on the tpu engine,
+    the device DP's modeled scratch budget."""
+    device_budget = budget_bytes
+    if budget_bytes is None:
+        budget_bytes = 2 << 30
     groups = block_copies(blocks)
     blocks_seqs = [
         [copy_sequence(b, seqs) for b in grp] for _, grp in groups
@@ -155,7 +162,9 @@ def align_blocks_to_maf(
     if engine == "tpu":
         from sibeliaz_tpu.align import tpu_poa
 
-        msas = tpu_poa.poa_msa_batch_tpu(blocks_seqs)
+        msas = tpu_poa.poa_msa_batch_tpu(
+            blocks_seqs, budget_bytes=device_budget
+        )
         missing = [g for g, m in enumerate(msas) if m is None]
         if missing:
             redo = poa_msa_batch(

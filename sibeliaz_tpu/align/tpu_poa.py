@@ -224,15 +224,21 @@ def poa_msa_batch_tpu(
     blocks_seqs: Sequence[Sequence[np.ndarray]],
     node_budget_factor: float = 1.75,
     mesh=None,
+    budget_bytes: Optional[int] = None,
 ) -> List[Optional[List[bytes]]]:
     """MSA per block computed with the device DP; None for blocks that fell
     back (caller should route those to the native engine).
 
     Blocks are bucketed by padded sequence length so a 100 bp block never
     pays a 16 kbp block's (L, n_max) pad, and each bucket's dispatches are
-    capped so the per-block H + dirs scratch fits HBM_BUDGET."""
+    capped so the per-block H + dirs scratch fits the modeled budget
+    (default HBM_BUDGET; budget_bytes — the driver's -f — overrides it,
+    divided by 3 because the true XLA plan runs ~2.6x the model)."""
     if not blocks_seqs:
         return []
+    hbm_budget = HBM_BUDGET if budget_bytes is None else max(
+        64 << 20, budget_bytes // 3
+    )
     all_states = [_BlockState([np.asarray(s, dtype=np.uint8) for s in seqs])
                   for seqs in blocks_seqs]
     buckets: dict = {}
@@ -243,7 +249,7 @@ def poa_msa_batch_tpu(
     for L, members in sorted(buckets.items()):
         n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
         per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)  # H + dirs
-        if per_block > HBM_BUDGET:
+        if per_block > hbm_budget:
             # even ONE such block's true allocation plan exceeds the chip
             # (measured: a modeled-9.4G single-block dispatch compiled to a
             # 15.84G plan and OOMed a 15.75G v5e) — route the bucket to the
@@ -253,7 +259,7 @@ def poa_msa_batch_tpu(
             continue
         # round the cap DOWN to a power of two: _run_bucket pads batches up
         # to a power of two, which must never exceed the memory budget
-        b_cap = max(1, int(HBM_BUDGET // per_block))
+        b_cap = max(1, int(hbm_budget // per_block))
         b_cap = 1 << (b_cap.bit_length() - 1)
         _run_bucket(all_states, members, L, n_max, b_cap, mesh=mesh)
     out: List[Optional[List[bytes]]] = []

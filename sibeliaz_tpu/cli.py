@@ -24,8 +24,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-t", type=int, default=0, help="worker threads (0 = all cores)")
     p.add_argument(
         "-f", type=int, default=0,
-        help="memory budget hint in GB (accepted for driver parity; the "
-        "sort-based graph stage is exact and needs no Bloom sizing)",
+        help="device-memory budget in GB (driver -f parity): bounds the "
+        "graph stage's HBM routing, the fused LCB engine's vote dispatch "
+        "size, and the device POA scratch budget",
     )
     p.add_argument("-o", dest="outdir", default="./sibeliaz_out", help="output directory")
     p.add_argument("-n", dest="noalign", action="store_true", help="skip the alignment stage")
@@ -62,6 +63,7 @@ def make_config(args) -> Config:
         threads=threads,
         no_align=args.noalign,
         out_dir=args.outdir,
+        memory_budget_bytes=(args.f << 30) if args.f > 0 else None,
     )
 
 
@@ -104,9 +106,8 @@ def run(argv: Optional[List[str]] = None) -> int:
         # -f GB (TwoPaCo --filtermemory role) caps device memory;
         # build_junctions itself routes to the multi-round streamed path
         # when the monolithic kernel's measured footprint would exceed it
-        budget = (args.f << 30) if args.f > 0 else None
         records = construct.build_junctions(
-            seqs, cfg.k, hbm_budget_bytes=budget
+            seqs, cfg.k, hbm_budget_bytes=cfg.memory_budget_bytes
         )
     t_graph = time.time()
     if args.dump_graph:
@@ -141,6 +142,7 @@ def run(argv: Optional[List[str]] = None) -> int:
             cmd=" ".join(argv if argv is not None else sys.argv[1:]),
             chunks=cfg.chunks, threads=cfg.threads,
             engine=args.align_engine,
+            budget_bytes=cfg.memory_budget_bytes,
         )
     t_end = time.time()
     print(

@@ -39,6 +39,11 @@ class Config:
     no_align: bool = False
     # Output directory (sibeliaz:11).
     out_dir: str = "./sibeliaz_out"
+    # Device-memory budget in bytes (-f GB; the reference driver's single
+    # memory flag, sibeliaz:105-117).  None = per-stage defaults.  Bounds
+    # the graph stage's HBM routing, the fused LCB engine's vote-dispatch
+    # size, and the device POA's scratch budget.
+    memory_budget_bytes: int | None = None
 
     def __post_init__(self) -> None:
         if self.k % 2 == 0:

@@ -594,7 +594,13 @@ _CORES = {
     "cummax2": _v7_core_cummax2,
     "scan": _v7_core_scan,
 }
-_v7_core = _CORES[os.environ.get("SZ_JUNCTION_CORE", "cummax2")]
+_core_name = os.environ.get("SZ_JUNCTION_CORE", "cummax2")
+if _core_name not in _CORES:
+    raise ValueError(
+        f"SZ_JUNCTION_CORE={_core_name!r} is not a junction core; "
+        f"valid options: {sorted(_CORES)}"
+    )
+_v7_core = _CORES[_core_name]
 
 
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
@@ -651,9 +657,13 @@ def build_junctions(
     if bucket * MONOLITHIC_PEAK_BYTES_PER_POS > budget:
         from sibeliaz_tpu.graph import streamed
 
-        n_rounds = max(
-            1, -(-(bucket * STREAMED_PEAK_BYTES_PER_POS) // budget)
-        )
+        # k > 31 rounds carry an extra int64 limb buffer and one more sort
+        # operand in _round_analysis2, so scale the per-position estimate
+        # before sizing rounds (advisor round-3 finding).
+        per_pos = STREAMED_PEAK_BYTES_PER_POS
+        if k > 31:
+            per_pos = int(per_pos * 1.4)
+        n_rounds = max(1, -(-(bucket * per_pos) // budget))
         return streamed.build_junctions_streamed_resident(
             seqs, k, n_rounds=int(n_rounds)
         )

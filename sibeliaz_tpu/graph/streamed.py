@@ -141,6 +141,13 @@ def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
     """Per-class junction predicates over one round's records (padded with
     _INVALID_CANON rows).  Returns (is_junction, first_gpos) per record.
 
+    PRECONDITION: callers must supply records in ascending-gpos order
+    (both round paths do — the resident rounds scan chunks in genome
+    order and the host-bucketed path concatenates chunk buckets in scan
+    order).  first_gpos is read from the class-START rank of the stable
+    (canon, row) sort, which equals the class minimum gpos only under
+    that insertion order.
+
     Round-3 formulation (the construct._v7_core_cummax2 pattern, which
     measured 3.25x over segment/spread formulations on the monolithic
     kernel): stable payload-carrying sort, int32 last-set ladders, the
@@ -626,6 +633,12 @@ def build_junctions_streamed(
         ]
         packed = np.concatenate([b[n_limbs] for b in buckets[r]])
         gpos = np.concatenate([b[n_limbs + 1] for b in buckets[r]])
+        # _round_analysis derives class-first gpos from insertion order;
+        # chunk buckets are appended in scan order, so gpos is ascending
+        if __debug__ and len(gpos) > 1:
+            assert (np.diff(gpos) > 0).all(), (
+                "round bucket rows not in ascending gpos order"
+            )
         n = len(limbs[0])
         n_pad = max(4096, 1 << (n - 1).bit_length())
         limb_p = [np.zeros(n_pad, np.int64) for _ in range(n_limbs)]

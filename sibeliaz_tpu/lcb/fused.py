@@ -73,6 +73,14 @@ SMALL_CAP = 64  # vote instance cap for phases whose seeds all fit it
 SMALL_PATH = 128  # narrow path-slab width (P_CAP is the escalation)
 WIDE_W = 256  # escalated vote window (W=16 covers depth-8 + dense regions)
 VOTE_BUDGET = 1 << 22  # max L*CAP*W elements per dispatch (memory bound)
+
+
+def vote_budget_from_bytes(budget_bytes: int) -> int:
+    """Derive the vote-element budget from a total device-memory budget
+    (the driver's -f): the fused vote holds ~6 int64 sort operands plus
+    the 3D predicate temporaries per [L, CAP, W] element, ~192 B of live
+    footprint.  Clamped to [2^18, 2^24]."""
+    return max(1 << 18, min(1 << 24, budget_bytes // 192))
 MAX_STEPS = 4096  # extend attempts per lane (safety; ~10-100 typical)
 _MAX_WALK = 2048  # pushes per walk (safety; walks fit the vote window)
 
@@ -294,6 +302,7 @@ def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
 def process_phase_fused(
     eng: LcbEngine, bundles: Sequence[Bundle],
     mesh: Optional[Mesh] = None,
+    vote_budget: Optional[int] = None,
 ) -> List[List[Instance]]:
     """Explore a phase with the fused device state machine.
 
@@ -336,9 +345,10 @@ def process_phase_fused(
     # environment (benchmarks/results/lcb_engines.json); a small cap trades
     # dispatch count for the proven shape class.
     lane_cap = int(os.environ.get("SZ_FUSED_LANE_CHUNK", "0") or 0)
+    vb = vote_budget or VOTE_BUDGET
     for t, (CAP, W, IC, PC) in enumerate(tiers):
         last = t == len(tiers) - 1
-        chunk = max(8, min(PHASE_LANES, VOTE_BUDGET // (CAP * W)))
+        chunk = max(8, min(PHASE_LANES, vb // (CAP * W)))
         if lane_cap:
             chunk = min(chunk, lane_cap)
         escalate: List[int] = []
@@ -393,12 +403,17 @@ def process_phase_fused(
     return results
 
 
-def run_fused(eng: LcbEngine, mesh: Optional[Mesh] = None):
+def run_fused(eng: LcbEngine, mesh: Optional[Mesh] = None,
+              vote_budget: Optional[int] = None):
     """Full LCB run with fused-phase device exploration; pass a Mesh with a
-    "lanes" axis to shard each phase's lanes over multiple chips."""
+    "lanes" axis to shard each phase's lanes over multiple chips, and a
+    vote_budget (elements per dispatch, see vote_budget_from_bytes) to
+    bound device memory from the driver's -f flag."""
     from sibeliaz_tpu.lcb.device_bundles import make_bundles_device
 
     return eng.run(
-        process_batch_fn=functools.partial(process_phase_fused, mesh=mesh),
+        process_batch_fn=functools.partial(
+            process_phase_fused, mesh=mesh, vote_budget=vote_budget
+        ),
         bundles=make_bundles_device(eng.t),
     )

@@ -67,9 +67,17 @@ def find_blocks(
             if engine == "oracle":
                 raw = eng.run()
             elif engine == "tpu-fused":
-                from sibeliaz_tpu.lcb.fused import run_fused
+                from sibeliaz_tpu.lcb.fused import (
+                    run_fused,
+                    vote_budget_from_bytes,
+                )
 
-                raw = run_fused(eng)
+                vb = (
+                    vote_budget_from_bytes(cfg.memory_budget_bytes)
+                    if cfg.memory_budget_bytes
+                    else None
+                )
+                raw = run_fused(eng, vote_budget=vb)
             else:
                 from sibeliaz_tpu.lcb.resident import run_resident
 
