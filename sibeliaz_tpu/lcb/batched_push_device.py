@@ -39,6 +39,17 @@ P_CAP = 1024  # path vertices per lane
 BIG = np.int64(1) << 60  # numpy, NOT jnp (device-constant lowering fetch)
 
 
+def _padded(a: np.ndarray, fill, lo: int = 1024) -> np.ndarray:
+    """Pad a 1-D array to the next power-of-two length (min `lo`)."""
+    n = len(a)
+    m = lo if n <= 1 else max(lo, 1 << (n - 1).bit_length())
+    if m == n:
+        return a
+    out = np.full(m, fill, a.dtype)
+    out[:n] = a
+    return out
+
+
 @dataclasses.dataclass
 class DeviceTables:
     """Flat device copies of the junction table + phase-frozen used prefix."""
@@ -72,26 +83,38 @@ class DeviceTables:
         seq_off = np.zeros(n_chr + 1, np.int64)
         for c in range(n_chr):
             seq_off[c + 1] = seq_off[c] + len(table.seqs[c])
+        # All flat arrays are padded to power-of-two buckets so every jit
+        # program over DeviceTables caches across inputs of similar size
+        # (each distinct table shape is otherwise a fresh multi-minute
+        # remote compile on this backend).  Every consumer clips indices
+        # and masks junk-row results, so padding is semantics-free;
+        # offset-style arrays pad with their LAST value (so derived counts
+        # for out-of-range ids are 0), data arrays with 0 / 'N'.
         return cls(
-            chr_off=jnp.asarray(chr_off),
-            chr_len=jnp.asarray(np.diff(chr_off)),
-            jpos=jnp.asarray(
-                np.concatenate(table.jpos) if n_chr else np.zeros(0, np.int64)
-            ),
-            jid=jnp.asarray(
-                np.concatenate(table.jid) if n_chr else np.zeros(0, np.int64)
-            ),
-            used_pfx=jnp.asarray(pfx),
-            used=jnp.asarray(used_all),
-            seq_off=jnp.asarray(seq_off),
-            seq=jnp.asarray(
-                np.concatenate(table.seqs) if n_chr else np.zeros(0, np.uint8)
-            ),
-            occ_off=jnp.asarray(table.occ_off.astype(np.int64)),
-            occ_chr=jnp.asarray(table.occ_chr.astype(np.int64)),
-            occ_idx=jnp.asarray(table.occ_idx.astype(np.int64)),
-            occ_ch=jnp.asarray(table.occ_ch),
-            occ_revch=jnp.asarray(table.occ_revch),
+            chr_off=jnp.asarray(_padded(chr_off, chr_off[-1], lo=4)),
+            chr_len=jnp.asarray(_padded(np.diff(chr_off), 0, lo=4)),
+            jpos=jnp.asarray(_padded(
+                np.concatenate(table.jpos) if n_chr else np.zeros(0, np.int64),
+                0,
+            )),
+            jid=jnp.asarray(_padded(
+                np.concatenate(table.jid) if n_chr else np.zeros(0, np.int64),
+                0,
+            )),
+            used_pfx=jnp.asarray(_padded(pfx, pfx[-1])),
+            used=jnp.asarray(_padded(used_all, 0)),
+            seq_off=jnp.asarray(_padded(seq_off, seq_off[-1], lo=4)),
+            seq=jnp.asarray(_padded(
+                np.concatenate(table.seqs) if n_chr else np.zeros(0, np.uint8),
+                ord("N"),
+            )),
+            occ_off=jnp.asarray(_padded(
+                table.occ_off.astype(np.int64), table.occ_off[-1]
+            )),
+            occ_chr=jnp.asarray(_padded(table.occ_chr.astype(np.int64), 0)),
+            occ_idx=jnp.asarray(_padded(table.occ_idx.astype(np.int64), 0)),
+            occ_ch=jnp.asarray(_padded(table.occ_ch, 0)),
+            occ_revch=jnp.asarray(_padded(table.occ_revch, 0)),
             k=table.k,
         )
 

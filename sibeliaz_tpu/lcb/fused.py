@@ -5,12 +5,17 @@ issues one vote + one walk dispatch per extension round, with the
 minRun/positivity/rewind protocol (blocksfinder.h:228-310) as host control
 flow over scalars.  Here that protocol itself is traced: per-lane stage
 registers (forward sweep / backward sweep), the positivity and prev-length
-registers, and the rewind transition become jnp selects inside one
-lax.while_loop — an entire 256-bundle phase is ONE device dispatch.
+registers, and the rewind transition become jnp selects inside a
+lax.while_loop — a phase runs as a handful of SEGMENTED dispatches (the
+round-3 single-dispatch formulation was killed by this backend's
+long-running-kernel execution limit at production scale; the carry pytree
+stays device-resident across segments, so segmentation costs only one
+RPC + two scalar fetches per SEG_STEPS outer steps).
 
-Per traced step every active lane performs exactly one extend attempt
-(vote -> forward-only used-retry vote -> walk-to-winner), then the
-protocol registers advance:
+Per traced step every lane not mid-walk performs one vote (+ the
+forward-only used-retry) and every mid-walk lane advances by up to
+WALK_CHUNK pushes; when a lane's extend attempt completes (empty vote, or
+walk reached its target), the protocol registers advance:
 
   forward sweep (blocksfinder.h:252-269): a lane whose extend succeeded
   within minRun = 2b of the outer iteration's start length stays in the
@@ -69,10 +74,33 @@ from sibeliaz_tpu.lcb.resident import (
     snapshot_to_host,
 )
 
+import os as _os
+import time as _time
+
 SMALL_CAP = 64  # vote instance cap for phases whose seeds all fit it
 SMALL_PATH = 128  # narrow path-slab width (P_CAP is the escalation)
 WIDE_W = 256  # escalated vote window (W=16 covers depth-8 + dense regions)
 VOTE_BUDGET = 1 << 22  # max L*CAP*W elements per dispatch (memory bound)
+# Outer protocol steps per DISPATCH.  Round 3's whole-phase-in-one-dispatch
+# program was killed by the tunneled backend at production scale (a long-
+# running-kernel EXECUTION-TIME limit, not a miscompile: a 10-line scalar
+# while_loop reproduces the identical worker kill at exactly 60 s of
+# runtime while 43 s passes — see benchmarks/results/lcb_engines.json
+# round-4 entry): an entire phase can be minutes of strictly serial
+# while_loop work.  Segmenting the state machine bounds each dispatch to
+# SEG_STEPS outer steps (the carry pytree stays device-resident between
+# dispatches; only two scalars come back per segment), which keeps every
+# dispatch well under the kill threshold.  The per-dispatch step count
+# adapts at runtime toward SEG_TARGET_S seconds per segment.
+SEG_STEPS = int(_os.environ.get("SZ_FUSED_SEG", "64"))
+SEG_TARGET_S = float(_os.environ.get("SZ_FUSED_SEG_TARGET_S", "15"))
+_SEG_MAX = 2048
+# mutable so the adaptive controller persists across phases in a process
+_seg_state = {"steps": SEG_STEPS, "warmed": False}
+# Walk pushes per outer step: bounds the per-step serial chain (the round-3
+# design nested a whole up-to-2048-push walk loop inside one outer step).
+# Walks longer than WALK_CHUNK simply span multiple outer steps.
+WALK_CHUNK = int(_os.environ.get("SZ_FUSED_WALK_CHUNK", "16"))
 
 
 def vote_budget_from_bytes(budget_bytes: int) -> int:
@@ -81,28 +109,30 @@ def vote_budget_from_bytes(budget_bytes: int) -> int:
     the 3D predicate temporaries per [L, CAP, W] element, ~192 B of live
     footprint.  Clamped to [2^18, 2^24]."""
     return max(1 << 18, min(1 << 24, budget_bytes // 192))
-MAX_STEPS = 4096  # extend attempts per lane (safety; ~10-100 typical)
-_MAX_WALK = 2048  # pushes per walk (safety; walks fit the vote window)
 
 
-def _walk_masked(tb: DeviceTables, st: ResidentState, valid, c, i0, s, fwd,
-                 tvid, m, b, flank):
-    """Walk every valid lane from its vote origin (c, i0, s) to the winner
-    tvid in one nested lax.while_loop — lcb/resident.py's _walk_device
-    without the gather/scatter (the fused step already operates on the full
-    lane set; pushes are masked by `valid`, so inert lanes never mutate).
-    Returns (state, last-push success, current score)."""
+MAX_STEPS = 4096  # outer protocol steps per lane (safety)
+
+
+def _walk_chunk(tb: DeviceTables, st: ResidentState, valid, c, i0, s, fwd,
+                tvid, last0, m, b, flank):
+    """Advance every valid mid-walk lane by up to WALK_CHUNK pushes toward
+    its target vid tvid — lcb/resident.py's _walk_device without the
+    gather/scatter, and BOUNDED so one outer protocol step never contains
+    an unbounded nested loop (the round-3 whole-walk nesting is what made
+    single dispatches exceed the backend's execution-time kill threshold).
+    last0 carries the walk's last-push-success register across chunks.
+    Returns (state, i2, last, score, at_target)."""
     base = tb.chr_off[jnp.clip(c, 0, tb.chr_off.shape[0] - 2)]
 
     def vid_at(i):
         return s * tb.jid[jnp.clip(base + i, 0, tb.jid.shape[0] - 1)]
 
     active0 = valid & (vid_at(i0) != tvid)
-    last0 = jnp.zeros_like(active0)
 
     def cond(carry):
         _, _, active, _, steps = carry
-        return jnp.any(active) & (steps < _MAX_WALK)
+        return jnp.any(active) & (steps < WALK_CHUNK)
 
     def body(carry):
         w, i, active, last, steps = carry
@@ -119,23 +149,55 @@ def _walk_masked(tb: DeviceTables, st: ResidentState, valid, c, i0, s, fwd,
         active2 = active & (vid_at(i2) != tvid) & ~ovf
         return (w2, i2, active2, last2, steps + 1)
 
-    st, _, _, last, _ = jax.lax.while_loop(
+    st, i2, _, last, _ = jax.lax.while_loop(
         cond, body, (st, i0, active0, last0, jnp.int64(0))
     )
     score = _score_of(tb, st.ln, flank)
-    return st, last, score
+    at_target = vid_at(i2) == tvid
+    return st, i2, last, score, at_target
+
+
+def _init_carry(st: ResidentState, active0, L: int):
+    """The segmented state machine's full device-resident carry: protocol
+    registers plus the mid-walk registers that let a walk span outer
+    steps (and therefore dispatch boundaries)."""
+    return dict(
+        st=st,
+        stage=jnp.zeros(L, jnp.int32),
+        positive=jnp.zeros(L, bool),
+        prev_len=jnp.zeros(L, jnp.int64),
+        score=jnp.zeros(L, jnp.int64),
+        active=active0,
+        retier=jnp.zeros(L, bool),
+        hostfb=jnp.zeros(L, bool),
+        in_walk=jnp.zeros(L, bool),
+        wc=jnp.zeros(L, jnp.int64),
+        wi=jnp.zeros(L, jnp.int64),
+        ws=jnp.ones(L, jnp.int64),
+        wt=jnp.full(L, BIG, jnp.int64),
+        wlast=jnp.zeros(L, bool),
+        steps=jnp.int64(0),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
-                 st: ResidentState, active0, depth, m, b, flank, min_run):
-    """Run the complete per-bundle protocol for every lane to completion.
+def _phase_fused_seg(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
+                     carry, depth, m, b, flank, min_run, steps_limit):
+    """Advance the per-bundle protocol state machine by up to
+    (steps_limit - carry['steps']) outer steps.
 
-    Returns (state, retier, hostfb, steps): `retier` lanes hit a vote
-    capacity (re-run from seed at a bigger tier), `hostfb` lanes hit a hard
-    capacity (host oracle re-runs them); both sets' device state is
-    abandoned."""
-    L = st.ln.chr.shape[0]
+    One outer step = one vote for every lane not mid-walk (+ the
+    forward-only used-retry) and up to WALK_CHUNK walk pushes for every
+    mid-walk lane; protocol registers (blocksfinder.h:252-306) advance for
+    lanes whose extend attempt COMPLETED this step (vote came back empty,
+    or the walk reached its target / overflowed).  The whole carry stays
+    device-resident between segment dispatches — the host reads two
+    scalars per segment — so per-dispatch runtime is bounded regardless
+    of phase size (this backend kills any dispatch past a wall-clock
+    threshold; see benchmarks/results/lcb_engines.json round-4 entry).
+
+    Returns (carry, n_active)."""
+    L = carry["active"].shape[0]
     rows = jnp.arange(L, dtype=jnp.int64)
     zero_vote = (
         jnp.zeros(L, jnp.int64), jnp.zeros(L, jnp.int64),
@@ -144,7 +206,7 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
     )
 
     def cond(carry):
-        return jnp.any(carry["active"]) & (carry["steps"] < MAX_STEPS)
+        return jnp.any(carry["active"]) & (carry["steps"] < steps_limit)
 
     def body(carry):
         st = carry["st"]
@@ -155,11 +217,16 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
         active = carry["active"]
         retier = carry["retier"]
         hostfb = carry["hostfb"]
+        in_walk = carry["in_walk"]
+        wc, wi, ws, wt = carry["wc"], carry["wi"], carry["ws"], carry["wt"]
+        wlast = carry["wlast"]
         fwd = stage == 0
 
-        # ---- vote (+ forward-only used-retry, blocksfinder.h:780-785) ----
-        cap_ovf = active & (st.ln.n > CAP)
-        votable = active & ~cap_ovf
+        # ---- vote (+ forward-only used-retry, blocksfinder.h:780-785),
+        # for lanes not mid-walk ----
+        voting = active & ~in_walk
+        cap_ovf = voting & (st.ln.n > CAP)
+        votable = voting & ~cap_ovf
         bvid, _, ochr, oidx, ostr, wovf = _vote_gathered(
             CAP, W, tb, st.ln, rows, votable,
             fwd, jnp.zeros(L, bool), depth, b,
@@ -182,29 +249,43 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
         )
         retier = retier | vote_ovf
         active = active & ~vote_ovf
+        voted = votable & ~vote_ovf
+        start_walk = voted & (bvid != 0)
+        no_winner = voted & (bvid == 0)
 
-        # ---- walk to the winner ----
-        do_walk = active & (bvid != 0)
-        st, last, wscore = _walk_masked(
-            tb, st, do_walk, ochr, oidx,
-            jnp.where(do_walk, ostr, 1),
-            fwd, jnp.where(do_walk, bvid, BIG), m, b, flank,
+        # fresh walks load their registers and join the walking set
+        wc = jnp.where(start_walk, ochr, wc)
+        wi = jnp.where(start_walk, oidx, wi)
+        ws = jnp.where(start_walk, ostr, ws)
+        wt = jnp.where(start_walk, bvid, wt)
+        wlast = wlast & ~start_walk
+        in_walk = (in_walk & active) | start_walk
+
+        # ---- one chunk of walk pushes for every walking lane ----
+        st, wi, wlast, wscore, at_target = _walk_chunk(
+            tb, st, in_walk, wc, wi,
+            jnp.where(in_walk, ws, 1), fwd,
+            jnp.where(in_walk, wt, BIG), wlast, m, b, flank,
         )
-        push_ovf = active & st.ln.overflow
+        push_ovf = in_walk & st.ln.overflow
         if slab_max:
             hostfb = hostfb | push_ovf
         else:  # narrow instance/path slab: replay from seed, wider tier
             retier = retier | push_ovf
         active = active & ~push_ovf
-        did = do_walk & ~push_ovf
+        walk_done = in_walk & at_target & ~push_ovf
+        in_walk = in_walk & ~at_target & ~push_ovf
+        did = walk_done
         score_reg = jnp.where(did, wscore, score_reg)
-        ret = did & last
+        ret = did & wlast
 
-        # ---- protocol registers (blocksfinder.h:252-306) ----
+        # ---- protocol registers (blocksfinder.h:252-306), applied only
+        # to lanes whose extend attempt completed this step ----
+        fin = no_winner | walk_done
         middle = st.ln.right_flank - st.ln.left_flank
         cont = ret & (middle - prev_len <= min_run)
         positive = positive | (fwd & cont & (score_reg > 0))
-        brk = active & ~cont
+        brk = active & fin & ~cont
         outer_cont = jnp.where(fwd, ret & positive, ret & (score_reg > 0))
         new_outer = brk & outer_cont
         prev_len = jnp.where(new_outer, middle, prev_len)
@@ -227,23 +308,61 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
         return dict(
             st=st, stage=stage, positive=positive, prev_len=prev_len,
             score=score_reg, active=active, retier=retier, hostfb=hostfb,
+            in_walk=in_walk, wc=wc, wi=wi, ws=ws, wt=wt, wlast=wlast,
             steps=carry["steps"] + 1,
         )
 
-    init = dict(
-        st=st,
-        stage=jnp.zeros(L, jnp.int32),
-        positive=jnp.zeros(L, bool),
-        prev_len=jnp.zeros(L, jnp.int64),
-        score=jnp.zeros(L, jnp.int64),
-        active=active0,
-        retier=jnp.zeros(L, bool),
-        hostfb=jnp.zeros(L, bool),
-        steps=jnp.int64(0),
-    )
-    out = jax.lax.while_loop(cond, body, init)
-    hostfb = out["hostfb"] | out["active"]  # step-bound exhaustion
-    return out["st"], out["retier"], hostfb, out["steps"]
+    out = jax.lax.while_loop(cond, body, carry)
+    return out, jnp.sum(out["active"].astype(jnp.int32))
+
+
+def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
+                 st: ResidentState, active0, depth, m, b, flank, min_run,
+                 mesh: Optional[Mesh] = None):
+    """Run the complete per-bundle protocol for every lane to completion,
+    as a host loop over bounded segment dispatches (SEG_STEPS outer steps
+    each).
+
+    Returns (state, retier, hostfb, steps): `retier` lanes hit a vote
+    capacity (re-run from seed at a bigger tier), `hostfb` lanes hit a hard
+    capacity (host oracle re-runs them); both sets' device state is
+    abandoned."""
+    L = st.ln.chr.shape[0]
+    carry = _init_carry(st, active0, L)
+    if mesh is not None:
+        def lane_put(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[:1] == (L,):
+                spec = P("lanes", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return x
+
+        carry = jax.tree_util.tree_map(lane_put, carry)
+    steps = 0
+    while True:
+        seg = _seg_state["steps"]
+        limit = min(steps + seg, MAX_STEPS)
+        t0 = _time.time()
+        carry, n_active = _phase_fused_seg(
+            CAP, W, slab_max, tb, carry,
+            depth, m, b, flank, min_run, jnp.int64(limit),
+        )
+        new_steps = int(carry["steps"])  # d2h fetch = dispatch sync
+        dt = _time.time() - t0
+        # adapt toward SEG_TARGET_S s/dispatch; skip the first segment of
+        # the process (it absorbs the one-time executable load) and
+        # segments that ran fewer steps than asked (phase finished early)
+        ran = new_steps - steps
+        if _seg_state["warmed"] and ran >= seg:
+            if dt > 1.6 * SEG_TARGET_S:
+                _seg_state["steps"] = max(4, seg // 2)
+            elif dt < 0.4 * SEG_TARGET_S and seg < _SEG_MAX:
+                _seg_state["steps"] = seg * 2
+        _seg_state["warmed"] = True
+        steps = new_steps
+        if int(n_active) == 0 or steps >= MAX_STEPS:
+            break
+    hostfb = carry["hostfb"] | carry["active"]  # step-bound exhaustion
+    return carry["st"], carry["retier"], hostfb, carry["steps"]
 
 
 def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
@@ -284,7 +403,7 @@ def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
     st, retier, hostfb, steps = _phase_fused(
         CAP, W, slab_max, tb, st, active0,
         jnp.int64(eng.depth), jnp.int64(eng.m), jnp.int64(eng.b),
-        jnp.int64(eng.flank), jnp.int64(eng.b * 2),
+        jnp.int64(eng.flank), jnp.int64(eng.b * 2), mesh=mesh,
     )
     if slab_max:
         hostfb = np.asarray(hostfb) | np.asarray(seed_ovf)

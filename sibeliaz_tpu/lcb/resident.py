@@ -594,6 +594,13 @@ def _device_tables(eng: LcbEngine) -> DeviceTables:
     used_all = (
         np.concatenate(eng.t.used) if eng.t.n_chr else np.zeros(0, np.uint8)
     )
+    # pad to the cached table's pow2 bucket (cumsum over trailing zeros
+    # keeps the prefix's final value, so the pad rows stay semantics-free)
+    n_pad = tb.used.shape[0]
+    if len(used_all) < n_pad:
+        used_all = np.concatenate(
+            [used_all, np.zeros(n_pad - len(used_all), np.uint8)]
+        )
     # ship only the uint8 flags; the int64 exclusive prefix (8x the bytes)
     # is computed on device
     used_j, pfx_j = _used_prefix(jnp.asarray(used_all))
