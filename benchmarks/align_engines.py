@@ -83,6 +83,10 @@ def main():
             "maf_bytes": len(body),
             "overflow_blocks": len(overflow),
         }), flush=True)
+        if engine == "tpu":
+            from sibeliaz_tpu.align.tpu_poa import poa_stats_dump
+
+            poa_stats_dump()
     if len(set(mafs.values())) != 1:
         print("ENGINES DISAGREE", file=sys.stderr)
         sys.exit(1)

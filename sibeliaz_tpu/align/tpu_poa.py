@@ -246,6 +246,29 @@ def poa_msa_batch_tpu(
         max_len = max(len(s) for s in st.seqs)
         L = max(64, 1 << (max_len - 1).bit_length())
         buckets.setdefault(L, []).append(b)
+    # Merge small buckets upward: per-dispatch RPC latency dominates this
+    # tunneled backend (135 ms measured at B=8), so fewer, FULLER
+    # dispatches beat tighter padding — the DP runs at ~1.5% of its HBM
+    # bound, so padded compute is nearly free.  Greedy smallest-first:
+    # absorb a bucket into the next one whenever the combined block count
+    # still fits one batch dispatch at the larger shape.
+    def _cap_at(L: int) -> int:
+        n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
+        per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)
+        return int(hbm_budget // max(per_block, 1))
+
+    merged: dict = {}
+    pend_members: list = []
+    items = sorted(buckets.items())
+    for idx, (L, members) in enumerate(items):
+        pend_members += members
+        if idx + 1 < len(items):
+            nxt_L, nxt_members = items[idx + 1]
+            if len(pend_members) + len(nxt_members) <= _cap_at(nxt_L):
+                continue  # absorb into the next (larger) bucket
+        merged.setdefault(L, []).extend(pend_members)
+        pend_members = []
+    buckets = merged
     for L, members in sorted(buckets.items()):
         n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
         per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)  # H + dirs
@@ -268,6 +291,24 @@ def poa_msa_batch_tpu(
     return out
 
 
+import os as _os
+import sys as _sys
+import time as _time
+
+_STATS = {"extract_s": 0.0, "device_s": 0.0, "thread_s": 0.0, "h2d_build_s": 0.0,
+          "dispatches": 0, "blocks_dispatched": 0}
+
+
+def _poa_stats_enabled() -> bool:
+    return bool(_os.environ.get("SZ_POA_STATS"))
+
+
+def poa_stats_dump() -> dict:
+    if _poa_stats_enabled():
+        print(f"[tpu_poa] {_STATS}", file=_sys.stderr, flush=True)
+    return dict(_STATS)
+
+
 def _run_bucket(states: List[_BlockState], members: List[int], L: int,
                 n_max: int, b_cap: int, mesh=None) -> None:
     """Drive one (L, n_max) bucket's blocks to completion.
@@ -277,6 +318,7 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
     DP+traceback with no cross-device communication."""
     while any(not states[b].done for b in members):
         active = [b for b in members if not states[b].done][:b_cap]
+        t0 = _time.time()
         arrs = []
         for b in active:
             st = states[b]
@@ -285,9 +327,11 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
                 st.fallback = True
                 continue
             arrs.append((b, ex))
+        _STATS["extract_s"] += _time.time() - t0
         if not arrs:
             continue
         # pad the batch to a power of two so jit compilations are reused
+        t0 = _time.time()
         B = len(arrs)
         B_pad = 1 << (B - 1).bit_length()
         if mesh is not None:  # batch axis must split evenly over devices
@@ -319,6 +363,8 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
                 spec = PSpec(ax, *([None] * (x.ndim - 1)))
                 return jax.device_put(x, NamedSharding(mesh, spec))
 
+        _STATS["h2d_build_s"] += _time.time() - t0
+        t0 = _time.time()
         out_r, out_i, tcount = _dp_tb_batch(
             dev(seq_b), dev(len_b), dev(char_b),
             dev(pi_b), dev(po_b), dev(sink_b),
@@ -327,6 +373,10 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
         out_r = np.asarray(out_r)
         out_i = np.asarray(out_i)
         tcount = np.asarray(tcount)
+        _STATS["device_s"] += _time.time() - t0
+        _STATS["dispatches"] += 1
+        _STATS["blocks_dispatched"] += len(arrs)
+        t0 = _time.time()
         for j, (b, (topo, *_rest)) in enumerate(arrs):
             st = states[b]
             s = st.seqs[st.next]
@@ -342,3 +392,4 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
                             i if i >= 0 else None))
             st.graph.add_alignment(aln, s)
             st.next += 1
+        _STATS["thread_s"] += _time.time() - t0

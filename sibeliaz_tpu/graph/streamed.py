@@ -27,6 +27,7 @@ memory is O(chunk + N / n_rounds) instead of O(N).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence
 
 import jax
@@ -284,140 +285,129 @@ def _round_bucket2(ch, cl, n_rounds):
     return h % jnp.int64(n_rounds) if isinstance(n_rounds, int) else h % n_rounds
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _round_scan(codes_all, r, n_rounds, k: int, chunk: int,
-                n_chunks: int, cap: int, wide: bool = False):
-    """One complete round on device: scan + bucket-filter + analyze +
-    compact.  Narrow mode (inputs < 2^31 positions) returns one int64 per
-    junction (gpos<<32 | first<<1 | orientation); wide mode (< 2^32
-    positions, e.g. mammal-scale multi-genome inputs) returns a uint64
-    (gpos<<32 | first) plus a uint8 orientation stream (9 B/junction),
-    with int64 position buffers throughout.
-    Returns (n_junctions, packed [cap//3], orient [cap//3], overflow)."""
-    buf_canon = jnp.full(cap, _INVALID_CANON, jnp.int64)
-    buf_packed = jnp.zeros(cap, jnp.int32)
-    buf_gpos = jnp.zeros(cap, jnp.int64 if wide else jnp.int32)
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _round_scan_pass(codes_all, r0, n_rounds, ci0, ci1, carry,
+                     G: int, k: int, chunk: int, cap: int, wide: bool,
+                     two_limb: bool):
+    """Scan chunks [ci0, ci1) once and bucket-append into G ROUND BUFFERS
+    at once (rounds r0..r0+G-1).  This is the round-4 multi-round pass:
+    the dominant chromosome-scale cost was R full input rescans (one per
+    round, 302 s warm at 256 Mbp); materializing G rounds per rescan cuts
+    the scan passes to ceil(R/G) for G x the round-buffer memory.  The
+    chunk range is traced so the host can segment a pass into several
+    dispatches (this backend kills any dispatch running past ~60 s).
+
+    carry = (limb buffers [G, cap] x (1|2), packed [G, cap],
+             gpos [G, cap], cursors [G], overflow); the per-chunk sort key
+    g_rel*chunk + local left-compacts rows into per-round segments in one
+    sort while preserving ascending-gpos order within each round
+    (_round_analysis's insertion-order precondition)."""
     win = 1 + chunk + k + 1
-
-    def body(ci, carry):
-        bc, bp, bg, cursor, ovf = carry
-        start = 1 + ci * chunk  # global position of the chunk's first row
-        block = jax.lax.dynamic_slice(codes_all, (start - 1,), (win,))
-        canon, packed, positive = _chunk_scan(block, k)
-        local = jnp.arange(chunk, dtype=jnp.int32)
-        keep = (canon != _INVALID_CANON) & (
-            _round_bucket(canon, n_rounds) == r
-        )  # n_rounds is TRACED: the overflow retry (n_rounds doubling)
-        #    reuses this compiled program — a recompile through this
-        #    environment's toolchain costs minutes
-        pk = packed | (positive.astype(jnp.int32) << 11)
-        if wide:
-            gpos = start.astype(jnp.int64) + local.astype(jnp.int64)
-        else:
-            gpos = start.astype(jnp.int32) + local
-        key = jnp.where(keep, local, jnp.int32(chunk))
-        k2, c2, p2, g2 = jax.lax.sort(
-            (key, canon, pk, gpos), num_keys=1
-        )
-        cnt = jnp.sum(keep.astype(jnp.int64))
-        live = jnp.arange(chunk, dtype=jnp.int64) < cnt
-        c2 = jnp.where(live, c2, _INVALID_CANON)
-        p2 = jnp.where(live, p2, 0)
-        g2 = jnp.where(live, g2, 0)
-        at = jnp.minimum(cursor, jnp.int64(cap - chunk))
-        bc = jax.lax.dynamic_update_slice(bc, c2, (at,))
-        bp = jax.lax.dynamic_update_slice(bp, p2, (at,))
-        bg = jax.lax.dynamic_update_slice(bg, g2, (at,))
-        ovf = ovf | (cursor + cnt > cap - chunk)
-        return (bc, bp, bg, cursor + cnt, ovf)
-
-    buf_canon, buf_packed, buf_gpos, n_rows, overflow = jax.lax.fori_loop(
-        0, n_chunks, body,
-        (buf_canon, buf_packed, buf_gpos, jnp.int64(0), jnp.bool_(False)),
-    )
-    # rows at/after the final cursor hold the last chunk's masked tail
-    # (INVALID canon), so the analysis sees exactly the round's records
-    isj, first = _round_analysis(
-        buf_canon, buf_packed & 0x7FF, buf_gpos.astype(jnp.int64)
-    )
-    out_cap = cap // 3
-    row = jnp.arange(cap, dtype=jnp.int32)
-    key3 = jnp.where(isj, row, jnp.int32(cap))
-    orient = ((buf_packed >> 11) & 1).astype(jnp.uint8)
-    if wide:
-        packed_out = (
-            (buf_gpos.astype(jnp.uint64) << 32)
-            | first.astype(jnp.uint64)
-        )
-        _, po, oo = jax.lax.sort((key3, packed_out, orient), num_keys=1)
+    if two_limb:
+        bh, bl, bp, bg, cursors, ovf0 = carry
     else:
-        packed_out = (
-            (buf_gpos.astype(jnp.int64) << 32)
-            | (first.astype(jnp.int64) << 1)
-            | orient.astype(jnp.int64)
-        )
-        _, po = jax.lax.sort((key3, packed_out), num_keys=1)
-        oo = jnp.zeros(cap, jnp.uint8)
-    n_j = jnp.sum(isj.astype(jnp.int32))
-    overflow = overflow | (n_j > out_cap)
-    return n_j, po[:out_cap], oo[:out_cap], overflow
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _round_scan2(codes_all, r, n_rounds, k: int, chunk: int,
-                 n_chunks: int, cap: int, wide: bool = False):
-    """Two-limb (31 < k <= 61) variant of _round_scan: the round buffer
-    carries both canon limbs and the class analysis groups on the
-    lexicographic (hi, lo) pair.  Output payload format is identical to
-    _round_scan's, so the host assembly is shared."""
-    buf_ch = jnp.full(cap, _INVALID_CANON, jnp.int64)
-    buf_cl = jnp.zeros(cap, jnp.int64)
-    buf_packed = jnp.zeros(cap, jnp.int32)
-    buf_gpos = jnp.zeros(cap, jnp.int64 if wide else jnp.int32)
-    win = 1 + chunk + k + 1
+        bc, bp, bg, cursors, ovf0 = carry
 
     def body(ci, carry):
-        bh, bl, bp, bg, cursor, ovf = carry
+        if two_limb:
+            bh, bl, bp, bg, cursors, ovf = carry
+        else:
+            bc, bp, bg, cursors, ovf = carry
         start = 1 + ci * chunk
         block = jax.lax.dynamic_slice(codes_all, (start - 1,), (win,))
-        ch, cl, packed, positive = _chunk_scan2(block, k)
+        if two_limb:
+            ch, cl, packed, positive = _chunk_scan2(block, k)
+            bucket = _round_bucket2(ch, cl, n_rounds)
+            invalid = ch == _INVALID_CANON
+        else:
+            canon, packed, positive = _chunk_scan(block, k)
+            bucket = _round_bucket(canon, n_rounds)
+            invalid = canon == _INVALID_CANON
         local = jnp.arange(chunk, dtype=jnp.int32)
-        keep = (ch != _INVALID_CANON) & (
-            _round_bucket2(ch, cl, n_rounds) == r
-        )
+        g_rel = bucket - r0
+        keep = ~invalid & (g_rel >= 0) & (g_rel < G)
         pk = packed | (positive.astype(jnp.int32) << 11)
         if wide:
             gpos = start.astype(jnp.int64) + local.astype(jnp.int64)
         else:
             gpos = start.astype(jnp.int32) + local
-        key = jnp.where(keep, local, jnp.int32(chunk))
-        k2, h2, l2, p2, g2 = jax.lax.sort(
-            (key, ch, cl, pk, gpos), num_keys=1
+        key = jnp.where(
+            keep, g_rel.astype(jnp.int32) * chunk + local,
+            jnp.int32(G * chunk),
         )
-        cnt = jnp.sum(keep.astype(jnp.int64))
-        live = jnp.arange(chunk, dtype=jnp.int64) < cnt
-        h2 = jnp.where(live, h2, _INVALID_CANON)
-        l2 = jnp.where(live, l2, 0)
-        p2 = jnp.where(live, p2, 0)
-        g2 = jnp.where(live, g2, 0)
-        at = jnp.minimum(cursor, jnp.int64(cap - chunk))
-        bh = jax.lax.dynamic_update_slice(bh, h2, (at,))
-        bl = jax.lax.dynamic_update_slice(bl, l2, (at,))
-        bp = jax.lax.dynamic_update_slice(bp, p2, (at,))
-        bg = jax.lax.dynamic_update_slice(bg, g2, (at,))
-        ovf = ovf | (cursor + cnt > cap - chunk)
-        return (bh, bl, bp, bg, cursor + cnt, ovf)
+        if two_limb:
+            _, h2, l2, p2, g2 = jax.lax.sort(
+                (key, ch, cl, pk, gpos), num_keys=1
+            )
+            limb_sorted = (h2, l2)
+        else:
+            _, c2, p2, g2 = jax.lax.sort((key, canon, pk, gpos), num_keys=1)
+            limb_sorted = (c2,)
+        g_kept = jnp.where(keep, g_rel, G)
+        cnts = jnp.zeros(G, jnp.int64).at[
+            jnp.clip(g_kept, 0, G)
+        ].add(keep.astype(jnp.int64), mode="drop")
+        prefix = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64), jnp.cumsum(cnts)[:-1]]
+        )
+        # pad so a static-length dynamic_slice never reads out of range
+        pad1 = jnp.full(chunk, _INVALID_CANON, jnp.int64)
+        pad0 = jnp.zeros(chunk, jnp.int64)
+        limb_pad = (
+            (jnp.concatenate([limb_sorted[0], pad1]),)
+            + ((jnp.concatenate([limb_sorted[1], pad0]),) if two_limb else ())
+        )
+        p2p = jnp.concatenate([p2, jnp.zeros(chunk, p2.dtype)])
+        g2p = jnp.concatenate([g2, jnp.zeros(chunk, g2.dtype)])
+        lr = jnp.arange(chunk, dtype=jnp.int64)
+        for g in range(G):
+            live = lr < cnts[g]
+            at = jnp.minimum(cursors[g], jnp.int64(cap - chunk))
+            seg0 = jax.lax.dynamic_slice(limb_pad[0], (prefix[g],), (chunk,))
+            seg0 = jnp.where(live, seg0, _INVALID_CANON)
+            if two_limb:
+                seg1 = jax.lax.dynamic_slice(
+                    limb_pad[1], (prefix[g],), (chunk,)
+                )
+                seg1 = jnp.where(live, seg1, 0)
+                bh = jax.lax.dynamic_update_slice(bh, seg0[None, :], (g, at))
+                bl = jax.lax.dynamic_update_slice(bl, seg1[None, :], (g, at))
+            else:
+                bc = jax.lax.dynamic_update_slice(bc, seg0[None, :], (g, at))
+            segp = jax.lax.dynamic_slice(p2p, (prefix[g],), (chunk,))
+            segg = jax.lax.dynamic_slice(g2p, (prefix[g],), (chunk,))
+            bp = jax.lax.dynamic_update_slice(
+                bp, jnp.where(live, segp, 0)[None, :], (g, at)
+            )
+            bg = jax.lax.dynamic_update_slice(
+                bg, jnp.where(live, segg, 0).astype(bg.dtype)[None, :],
+                (g, at),
+            )
+            ovf = ovf | (cursors[g] + cnts[g] > cap - chunk)
+        cursors = cursors + cnts
+        if two_limb:
+            return (bh, bl, bp, bg, cursors, ovf)
+        return (bc, bp, bg, cursors, ovf)
 
-    buf_ch, buf_cl, buf_packed, buf_gpos, n_rows, overflow = (
-        jax.lax.fori_loop(
-            0, n_chunks, body,
-            (buf_ch, buf_cl, buf_packed, buf_gpos,
-             jnp.int64(0), jnp.bool_(False)),
+    return jax.lax.fori_loop(ci0, ci1, body, carry)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _round_epilogue(limbs, buf_packed, buf_gpos, wide: bool,
+                    two_limb: bool):
+    """Class analysis + junction compaction of ONE round buffer (the tail
+    of the round-3 _round_scan, as its own dispatch so round buffers from
+    a multi-round pass are consumed one at a time)."""
+    cap = buf_packed.shape[0]
+    if two_limb:
+        isj, first = _round_analysis2(
+            limbs[0], limbs[1], buf_packed & 0x7FF,
+            buf_gpos.astype(jnp.int64),
         )
-    )
-    isj, first = _round_analysis2(
-        buf_ch, buf_cl, buf_packed & 0x7FF, buf_gpos.astype(jnp.int64)
-    )
+    else:
+        isj, first = _round_analysis(
+            limbs[0], buf_packed & 0x7FF, buf_gpos.astype(jnp.int64)
+        )
     out_cap = cap // 3
     row = jnp.arange(cap, dtype=jnp.int32)
     key3 = jnp.where(isj, row, jnp.int32(cap))
@@ -437,7 +427,7 @@ def _round_scan2(codes_all, r, n_rounds, k: int, chunk: int,
         _, po = jax.lax.sort((key3, packed_out), num_keys=1)
         oo = jnp.zeros(cap, jnp.uint8)
     n_j = jnp.sum(isj.astype(jnp.int32))
-    overflow = overflow | (n_j > out_cap)
+    overflow = n_j > out_cap
     return n_j, po[:out_cap], oo[:out_cap], overflow
 
 
@@ -454,7 +444,7 @@ def build_junctions_streamed_resident(
     plus 8 bytes per junction (9 in the wide >=2^31-position mode; vs
     ~21 B/position round-tripped by the host-bucketed path).
     `force_wide` exercises the wide payload on small inputs (tests).
-    31 < k <= 61 routes to the two-limb round scan (_round_scan2); the
+    31 < k <= 61 routes the pass through the two-limb chunk scan; the
     output payload and host assembly are limb-count-independent."""
     if not seqs:
         return []
@@ -492,31 +482,75 @@ def build_junctions_streamed_resident(
     # round buffer at chromosome scale); retries double n_rounds but keep
     # this cap — same compiled shape, smaller per-round population
     cap = max(M, -(-per_round // M) * M)
+    two_limb = k > 31
+    # G = rounds materialized per input rescan: the scan passes drop from
+    # n_rounds to ceil(n_rounds/G) at G x the round-buffer bytes (the
+    # analysis working set is unchanged — epilogues consume one buffer at
+    # a time).  Budget the EXTRA buffers to ~3 GB.
+    row_bytes = (24 if two_limb else 16) + (8 if wide else 4)
+    G_budget = int(os.environ.get("SZ_ROUNDS_PER_PASS_BYTES", str(3 << 30)))
+    G = max(1, min(n_rounds, G_budget // max(cap * row_bytes, 1)))
+    # chunks per dispatch: this backend kills dispatches past ~60 s of
+    # runtime; ~0.3 s/chunk-scan measured => 32 chunks ~ 10 s, 6x margin
+    seg_chunks = int(os.environ.get("SZ_SCAN_SEG_CHUNKS", "32"))
     while True:
-        # queue ALL rounds before reading any result: jax dispatch is
-        # async, so the device pipelines round r+1's scan behind round r's
-        # epilogue and the per-round host sync (RPC latency on a tunneled
-        # chip) is paid once, not n_rounds times
-        scan_fn = _round_scan2 if k > 31 else _round_scan
-        queued = [
-            scan_fn(
-                codes_all, jnp.int64(r), jnp.int64(n_rounds), k, M,
-                n_chunks, cap, wide,
-            )
-            for r in range(n_rounds)
-        ]
         parts = []
         oparts = []
-        overflowed = any(bool(q[3]) for q in queued)
-        if not overflowed:
-            for n_j, po, oo, _ in queued:
+        overflowed = False
+        for r0 in range(0, n_rounds, G):
+            if two_limb:
+                carry = (
+                    jnp.full((G, cap), _INVALID_CANON, jnp.int64),
+                    jnp.zeros((G, cap), jnp.int64),
+                    jnp.zeros((G, cap), jnp.int32),
+                    jnp.zeros((G, cap), jnp.int64 if wide else jnp.int32),
+                    jnp.zeros(G, jnp.int64),
+                    jnp.bool_(False),
+                )
+            else:
+                carry = (
+                    jnp.full((G, cap), _INVALID_CANON, jnp.int64),
+                    jnp.zeros((G, cap), jnp.int32),
+                    jnp.zeros((G, cap), jnp.int64 if wide else jnp.int32),
+                    jnp.zeros(G, jnp.int64),
+                    jnp.bool_(False),
+                )
+            for ci0 in range(0, n_chunks, seg_chunks):
+                carry = _round_scan_pass(
+                    codes_all, jnp.int64(r0), jnp.int64(n_rounds),
+                    jnp.int64(ci0), jnp.int64(min(ci0 + seg_chunks, n_chunks)),
+                    carry, G, k, M, cap, wide, two_limb,
+                )
+            if bool(carry[-1]):  # cursor overflow in some round buffer
+                overflowed = True
+                break
+            limb_bufs = carry[:2] if two_limb else carry[:1]
+            bp, bg = carry[-4], carry[-3]
+            # queue the G epilogues, then fetch: buffers are consumed one
+            # dispatch at a time (memory), results pipelined (latency)
+            queued = [
+                _round_epilogue(
+                    tuple(lb[g] for lb in limb_bufs), bp[g], bg[g],
+                    wide, two_limb,
+                )
+                for g in range(min(G, n_rounds - r0))
+            ]
+            for n_j, po, oo, eovf in queued:
+                if bool(eovf):
+                    overflowed = True
+                    break
                 n_j = int(n_j)
                 if n_j:
                     parts.append(np.asarray(po[:n_j]))
                     if wide:
                         oparts.append(np.asarray(oo[:n_j]))
+            del carry, limb_bufs, bp, bg, queued
+            if overflowed:
+                break
+        if not overflowed:
             break
         n_rounds *= 2  # skewed bucket or junction-dense input: re-round
+        G = max(1, min(n_rounds, G_budget // max(cap * row_bytes, 1)))
 
     if not parts:
         return empty

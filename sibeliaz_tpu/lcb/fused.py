@@ -92,7 +92,11 @@ VOTE_BUDGET = 1 << 22  # max L*CAP*W elements per dispatch (memory bound)
 # dispatches; only two scalars come back per segment), which keeps every
 # dispatch well under the kill threshold.  The per-dispatch step count
 # adapts at runtime toward SEG_TARGET_S seconds per segment.
-SEG_STEPS = int(_os.environ.get("SZ_FUSED_SEG", "64"))
+# SLOW-START: the controller begins at SEG_STEPS and doubles toward the
+# target while dispatches come back fast — the first dispatches must be
+# provably short because no timing sample exists yet and a too-long first
+# segment is killed before the controller can react.
+SEG_STEPS = int(_os.environ.get("SZ_FUSED_SEG", "8"))
 SEG_TARGET_S = float(_os.environ.get("SZ_FUSED_SEG_TARGET_S", "15"))
 _SEG_MAX = 2048
 # mutable so the adaptive controller persists across phases in a process
@@ -348,6 +352,14 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
         )
         new_steps = int(carry["steps"])  # d2h fetch = dispatch sync
         dt = _time.time() - t0
+        if _os.environ.get("SZ_FUSED_STATS"):
+            import sys as _sys
+
+            print(
+                f"[fused-seg] steps {steps}->{new_steps} "
+                f"(asked {seg}) in {dt:.1f}s n_active={int(n_active)}",
+                file=_sys.stderr, flush=True,
+            )
         # adapt toward SEG_TARGET_S s/dispatch; skip the first segment of
         # the process (it absorbs the one-time executable load) and
         # segments that ran fewer steps than asked (phase finished early)
