@@ -119,17 +119,29 @@ def emit(p, total_mbp):
         f"junction kmers/s: {total_mbp * 1e6 / p['graph']:.2e} | "
         f"junctions: {n_junctions}"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "lcb_end_to_end_throughput",
-                "value": round(mbps, 3),
-                "unit": "input_mbp_per_s",
-                "vs_baseline": round(mbps / BASELINE_MBPS, 2),
-            }
-        ),
-        flush=True,
-    )
+    rec = {
+        "metric": "lcb_end_to_end_throughput",
+        "value": round(mbps, 3),
+        "unit": "input_mbp_per_s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+    }
+    # Alongside the README "<5 min" anchor, report against the MEASURED
+    # reference binary (benchmarks/reference_baseline.json, round 4): its
+    # best LCB-stage rate on this same input/.dbg.  Conservative for us —
+    # our number includes graph construction, theirs excludes it (TwoPaCo
+    # is not mounted).
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "benchmarks", "results", "reference_baseline.json",
+            )
+        ) as f:
+            ref = json.load(f)["summary"]["reference_lcb_mbps"]
+        rec["vs_reference_measured"] = round(mbps / ref, 2)
+    except Exception:
+        pass
+    print(json.dumps(rec), flush=True)
 
 
 # Best measured pass so far, for the deadline watchdog.  The watchdog exists

@@ -9,17 +9,17 @@ uniquely) has exactly one optimal alignment under that scoring, so every
 correct implementation emits the same MSA rows for it.  Only tie-carrying
 blocks are exposed to implementation tie-break order.
 
-This script builds an examples-class workload, runs the LCB stage, and
-reports the census over all aligned blocks:
+Round 4 extends the census beyond the examples-class shape: four shape
+classes (examples-class, long-block, high-copy, k=25), each reporting the
+tie census AND the both-sided envelope — the MSA divergence between our
+tie policy and the OPPOSITE (still optimal) policy
+(align/poa_ref.py poa_msa_alt_ties), which brackets where any correct
+spoa-compatible implementation can land.
 
-  {"blocks": N, "tie_free": M, "tie_free_fraction": M/N,
-   "total_ties": T, "tie_decisions_per_kcol": ...}
+The census runs the pure-spec engine, so workloads are sized for minutes.
 
-The census runs the pure-Python spec (O(copies * len^2) per block), so the
-default workload is sized for minutes, not the full bench scale; the block
-length/divergence distribution matches the examples-class shape.
-
-Usage: python benchmarks/poa_tie_census.py [length=60000] [n_genomes=4]
+Usage: python benchmarks/poa_tie_census.py  (runs all classes)
+       python benchmarks/poa_tie_census.py <class>  (one of the names)
 """
 
 import json
@@ -31,19 +31,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# name -> (length, n_genomes, divergence, n_inversions, k, max_len)
+CLASSES = {
+    "examples": (60_000, 4, 0.04, 4, 15, 6_000),
+    "long-block": (120_000, 3, 0.01, 2, 15, 14_000),
+    "high-copy": (50_000, 12, 0.03, 3, 15, 5_000),
+    "k25": (60_000, 4, 0.03, 4, 25, 6_000),
+}
 
-def main():
-    length = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
-    n_genomes = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
-    # The census itself is host Python; pin the pipeline to the CPU backend
-    # so this characterization never contends with (or waits on) the
-    # tunneled chip.  (The image's sitecustomize overrides JAX_PLATFORMS,
-    # so the config update is the reliable override.)
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
+def census_one(name, length, n_genomes, div, n_inv, k, max_len):
     from sibeliaz_tpu import pipeline
     from sibeliaz_tpu.align.msa import block_copies, copy_sequence
     from sibeliaz_tpu.align.poa_ref import (
@@ -53,39 +50,30 @@ def main():
     from sibeliaz_tpu.config import Config
     from sibeliaz_tpu.core import alphabet
 
-    # Block-rich shape (divergence + inversions) so the LCB stage yields
-    # many bounded-length blocks rather than one chromosome-length block —
-    # matching the committed examples/ configuration's block statistics.
     rng = np.random.default_rng(13)
     base = alphabet.decode(rng.integers(0, 4, size=length).astype(np.uint8))
     seqs, names = [], []
     for g in range(n_genomes):
         s = base.copy()
-        for p in np.flatnonzero(rng.random(length) < 0.04):
+        for p in np.flatnonzero(rng.random(length) < div):
             s[p] = alphabet.decode(np.uint8(rng.integers(0, 4)))
-        for _ in range(4):
+        for _ in range(n_inv):
             lo = int(rng.integers(0, length - 5000))
             hi = lo + int(rng.integers(1000, 5000))
             s[lo:hi] = alphabet.reverse_complement(s[lo:hi])
         seqs.append(s)
         names.append(f"G{g}.chr1")
 
-    cfg = Config(k=15, threads=min(os.cpu_count() or 1, 8))
+    cfg = Config(k=k, threads=min(os.cpu_count() or 1, 8))
     res = pipeline.find_blocks(seqs, names, cfg)
     groups = block_copies(res.blocks)
 
-    # cap: the pure-Python spec is quadratic; blocks beyond the cap are
-    # skipped and REPORTED, not silently dropped
-    max_len = int(os.environ.get("SZ_CENSUS_MAX_LEN", "6000"))
     t0 = time.time()
-    n_blocks = 0
-    tie_free = 0
-    total_ties = 0
-    total_cols = 0
-    skipped = 0
-    worst = []
+    n_blocks = tie_free = total_ties = total_cols = skipped = 0
     msa_changed = 0
     changed_cols = 0
+    max_copies = 0
+    worst = []
     for bid, grp in groups:
         rows = [copy_sequence(b, seqs) for b in grp]
         if max(len(r) for r in rows) > max_len:
@@ -93,13 +81,14 @@ def main():
             continue
         msa, ties = poa_msa_with_census(rows)
         n_blocks += 1
+        max_copies = max(max_copies, len(rows))
         total_cols += len(msa[0]) if msa else 0
         total_ties += ties
         if ties == 0:
             tie_free += 1
         else:
             worst.append((ties, bid))
-            # sensitivity: does an opposite (still optimal) tie order
+            # both-sided envelope: does the OPPOSITE optimal tie order
             # actually change the MSA bytes?
             alt = poa_msa_alt_ties(rows)
             if alt != msa:
@@ -113,9 +102,14 @@ def main():
                 else:
                     changed_cols += max(len(alt[0]), len(msa[0]))
     worst.sort(reverse=True)
-    out = {
+    return {
+        "shape": {
+            "length": length, "n_genomes": n_genomes, "divergence": div,
+            "k": k, "census_len_cap": max_len,
+        },
         "blocks": n_blocks,
         "skipped_over_cap": skipped,
+        "max_copies": max_copies,
         "tie_free": tie_free,
         "tie_free_fraction": round(tie_free / max(1, n_blocks), 4),
         "total_ties": total_ties,
@@ -130,6 +124,28 @@ def main():
         "worst_blocks": worst[:5],
         "census_seconds": round(time.time() - t0, 1),
     }
+
+
+def main():
+    # The census is host Python; pin the pipeline to the CPU backend so it
+    # never contends with the tunneled chip.  (sitecustomize overrides
+    # JAX_PLATFORMS, so the config update is the reliable override.)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    wanted = sys.argv[1:] or list(CLASSES)
+    out = {"date": "2026-08-21 (round 4)", "classes": {}}
+    for name in wanted:
+        args = CLASSES[name]
+        print(f"[census] {name} ...", file=sys.stderr, flush=True)
+        out["classes"][name] = census_one(name, *args)
+    out["note"] = (
+        "ties counted by the executable spec (poa_msa_with_census); the "
+        "both-sided envelope compares our tie policy against the opposite "
+        "still-optimal policy (poa_msa_alt_ties) — any correct "
+        "implementation of spoa's scoring lands between them"
+    )
     print(json.dumps(out))
 
 

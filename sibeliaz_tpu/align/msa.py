@@ -141,6 +141,7 @@ def align_blocks_to_maf(
     budget_bytes: int | None = 2 << 30,
     version_stamp: str = "sibeliaz v1.2.7",
     engine: str = "native",
+    tie_policy: str = "first",
 ) -> List[int]:
     """Align all LCBs and write the MAF; returns the ids of overflow blocks
     (their copies are written to <dir>/blocks/<id>.fa).
@@ -151,7 +152,13 @@ def align_blocks_to_maf(
 
     budget_bytes is the -f memory budget (None = per-engine defaults): it
     caps the native engine's per-process DP memory and, on the tpu engine,
-    the device DP's modeled scratch budget."""
+    the device DP's modeled scratch budget.
+
+    tie_policy="last" is the spoa-envelope ANALYSIS mode: it aligns every
+    block with the executable spec under the OPPOSITE (still optimal) tie
+    preferences (poa_ref.poa_msa_alt_ties) — any correct implementation
+    of spoa's invoked scoring (sibeliaz:67) produces an MSA between the
+    two policies' outputs.  Spec-speed; not for production runs."""
     device_budget = budget_bytes
     if budget_bytes is None:
         budget_bytes = 2 << 30
@@ -159,7 +166,11 @@ def align_blocks_to_maf(
     blocks_seqs = [
         [copy_sequence(b, seqs) for b in grp] for _, grp in groups
     ]
-    if engine == "tpu":
+    if tie_policy == "last":
+        from sibeliaz_tpu.align.poa_ref import poa_msa_alt_ties
+
+        msas = [poa_msa_alt_ties(rows) for rows in blocks_seqs]
+    elif engine == "tpu":
         from sibeliaz_tpu.align import tpu_poa
 
         msas = tpu_poa.poa_msa_batch_tpu(

@@ -43,6 +43,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "with native fallback; identical output)",
     )
     p.add_argument(
+        "--poa-ties", choices=("first", "last"), default="first",
+        help="POA tie-break policy: 'last' is the spoa-envelope analysis "
+        "mode (opposite still-optimal tie preferences via the executable "
+        "spec; spec-speed) — any correct spoa-compatible aligner emits an "
+        "MSA between the two policies' outputs",
+    )
+    p.add_argument(
         "--lcb-engine", choices=("native", "oracle", "tpu", "tpu-fused"),
         default="native",
         help="LCB exploration engine (tpu = resident-device batched phase "
@@ -143,6 +150,7 @@ def run(argv: Optional[List[str]] = None) -> int:
             chunks=cfg.chunks, threads=cfg.threads,
             engine=args.align_engine,
             budget_bytes=cfg.memory_budget_bytes,
+            tie_policy=args.poa_ties,
         )
     t_end = time.time()
     print(

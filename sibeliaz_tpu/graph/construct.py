@@ -673,15 +673,36 @@ def build_junctions(
         )
     codes = alphabet.encode(joined)
     capacity = max(4096, len(joined) // 3)
+    prof = os.environ.get("SZ_GRAPH_PROFILE")
+    codes_in = jnp.asarray(codes)
+    if prof:
+        # profile mode: force a sync at the upload boundary so the wall
+        # clock attributes to (upload, kernel, fetch, host decode).  Syncs
+        # use a value fetch — block_until_ready does not await remote
+        # execution on the tunneled backend.
+        import sys as _sys
+        import time as _t
+
+        _t0 = _t.time()
+        codes_in = jax.device_put(codes_in)
+        _ = np.asarray(codes_in[-1])
+        _prof_t = {"upload": _t.time() - _t0}
+        _prof_t["t0"] = _t.time()
     # v9 = payload-carrying sorts + running-maximum class broadcasts (no
     # standalone random gathers/scatters, no segment ops) + on-device signed
     # id assignment + 4-byte packed payload (uint8 pos deltas with a sorted
     # escape list, 24-bit ids), so the host does no id work and one
     # contiguous 4 B/junction stream crosses the tunnel.
     count, out_pos, out_id, pack, id_ovf = _junction_kernel_compact_v9(
-        jnp.asarray(codes), k, capacity
+        codes_in, k, capacity
     )
     count = int(count)
+    if prof:
+        import sys as _sys
+        import time as _t
+
+        _prof_t["kernel"] = _t.time() - _prof_t.pop("t0")
+        _prof_t["t0"] = _t.time()
     if count > capacity:
         # extremely junction-dense input: fall back to the full-length path
         flags, first_idx = _junction_kernel_packed(jnp.asarray(codes), k)
@@ -699,6 +720,10 @@ def build_junctions(
         jpos = np.asarray(out_pos[:count]).astype(np.int64)
     else:
         p = np.asarray(pack[:count])  # ONE 4 B/junction transfer
+        if prof:
+            _prof_t["fetch"] = _t.time() - _prof_t.pop("t0")
+            _prof_t["fetch_bytes"] = count * 4
+            _prof_t["t0"] = _t.time()
         delta = (p & 0xFF).astype(np.int64)
         er = np.flatnonzero(delta == 255)  # escape sentinel: gap >= 255
         if len(er):
@@ -717,4 +742,12 @@ def build_junctions(
     # no leading separator in the monolithic join).
     from sibeliaz_tpu.graph.assemble import split_chromosomes
 
-    return split_chromosomes(jpos, signed, lengths, lead_sep=0)
+    out = split_chromosomes(jpos, signed, lengths, lead_sep=0)
+    if prof:
+        if "t0" in _prof_t:
+            _prof_t["decode+split"] = _t.time() - _prof_t.pop("t0")
+        print(f"[graph-profile] n={len(joined)} junctions={count} "
+              + " ".join(f"{k_}={v:.3f}s" if isinstance(v, float) else
+                         f"{k_}={v}" for k_, v in _prof_t.items()),
+              file=_sys.stderr, flush=True)
+    return out
