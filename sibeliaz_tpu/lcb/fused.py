@@ -92,15 +92,19 @@ VOTE_BUDGET = 1 << 22  # max L*CAP*W elements per dispatch (memory bound)
 # dispatches; only two scalars come back per segment), which keeps every
 # dispatch well under the kill threshold.  The per-dispatch step count
 # adapts at runtime toward SEG_TARGET_S seconds per segment.
-# SLOW-START: the controller begins at SEG_STEPS and doubles toward the
-# target while dispatches come back fast — the first dispatches must be
-# provably short because no timing sample exists yet and a too-long first
-# segment is killed before the controller can react.
-SEG_STEPS = int(_os.environ.get("SZ_FUSED_SEG", "8"))
+# SLOW-START, RESET PER PHASE CALL: per-step cost is activity-dependent
+# (measured 0.5 s/step at a fresh phase's full lane activity vs 0.06 s
+# late-phase), so a segment size tuned on a draining phase is ~8x too big
+# for the next phase's first dispatch — round-4 chip evidence: phase 1
+# completed in adaptive segments, then phase 2's first 256-step segment
+# was killed at the 60 s limit.  Each phase call therefore restarts at
+# SEG_STEPS and doubles only on fast dispatches, capped at _SEG_MAX; the
+# worst first dispatch is SEG_STEPS x the worst observed per-step cost
+# (32 x 0.53 s = 17 s, comfortably under the kill threshold).
+SEG_STEPS = int(_os.environ.get("SZ_FUSED_SEG", "32"))
 SEG_TARGET_S = float(_os.environ.get("SZ_FUSED_SEG_TARGET_S", "15"))
-_SEG_MAX = 2048
-# mutable so the adaptive controller persists across phases in a process
-_seg_state = {"steps": SEG_STEPS, "warmed": False}
+_SEG_MAX = int(_os.environ.get("SZ_FUSED_SEG_MAX", "256"))
+_seg_state = {"warmed": False}  # first dispatch absorbs the executable load
 # Walk pushes per outer step: bounds the per-step serial chain (the round-3
 # design nested a whole up-to-2048-push walk loop inside one outer step).
 # Walks longer than WALK_CHUNK simply span multiple outer steps.
@@ -322,7 +326,7 @@ def _phase_fused_seg(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
 
 def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
                  st: ResidentState, active0, depth, m, b, flank, min_run,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, seg0: Optional[int] = None):
     """Run the complete per-bundle protocol for every lane to completion,
     as a host loop over bounded segment dispatches (SEG_STEPS outer steps
     each).
@@ -342,8 +346,8 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
 
         carry = jax.tree_util.tree_map(lane_put, carry)
     steps = 0
+    seg = seg0 if seg0 else SEG_STEPS
     while True:
-        seg = _seg_state["steps"]
         limit = min(steps + seg, MAX_STEPS)
         t0 = _time.time()
         carry, n_active = _phase_fused_seg(
@@ -360,15 +364,16 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
                 f"(asked {seg}) in {dt:.1f}s n_active={int(n_active)}",
                 file=_sys.stderr, flush=True,
             )
-        # adapt toward SEG_TARGET_S s/dispatch; skip the first segment of
-        # the process (it absorbs the one-time executable load) and
-        # segments that ran fewer steps than asked (phase finished early)
+        # adapt toward SEG_TARGET_S s/dispatch within this phase call;
+        # skip the first segment of the process (it absorbs the one-time
+        # executable load) and segments that ran fewer steps than asked
+        # (phase finished early)
         ran = new_steps - steps
         if _seg_state["warmed"] and ran >= seg:
             if dt > 1.6 * SEG_TARGET_S:
-                _seg_state["steps"] = max(4, seg // 2)
+                seg = max(4, seg // 2)
             elif dt < 0.4 * SEG_TARGET_S and seg < _SEG_MAX:
-                _seg_state["steps"] = seg * 2
+                seg = seg * 2
         _seg_state["warmed"] = True
         steps = new_steps
         if int(n_active) == 0 or steps >= MAX_STEPS:
@@ -412,10 +417,14 @@ def _run_tier(eng: LcbEngine, tb: DeviceTables, bundles: Sequence[Bundle],
         tb = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, NamedSharding(mesh, P())), tb
         )
+    # higher vote tiers multiply per-step cost by ~CAP*W relative to the
+    # small tier, so their slow-start must shrink proportionally or the
+    # first segment can itself cross the backend's 60 s dispatch kill
+    seg0 = max(4, (SEG_STEPS * SMALL_CAP * 16) // (CAP * W))
     st, retier, hostfb, steps = _phase_fused(
         CAP, W, slab_max, tb, st, active0,
         jnp.int64(eng.depth), jnp.int64(eng.m), jnp.int64(eng.b),
-        jnp.int64(eng.flank), jnp.int64(eng.b * 2), mesh=mesh,
+        jnp.int64(eng.flank), jnp.int64(eng.b * 2), mesh=mesh, seg0=seg0,
     )
     if slab_max:
         hostfb = np.asarray(hostfb) | np.asarray(seed_ovf)
@@ -455,26 +464,47 @@ def process_phase_fused(
     tb = _device_tables(eng)
 
     small = max(b.count for b in bundles) <= SMALL_CAP
+    # Size the STARTING vote window from the table's junction density:
+    # the vote scans forward junctions while (d < depth) OR within b bp,
+    # so it needs ~b/spacing + depth window slots.  At realistic
+    # densities (1 junction per 3-6 bp on 1-3% divergent inputs) W=16
+    # overflows for most lanes, and a whole-phase exploration at a
+    # too-small W is thrown away by the retier — measured round 4: half
+    # a phase's lanes retiered after 200+ wasted steps.  The ladder
+    # above W0 still covers underestimates exactly.
+    total_bp = sum(len(s) for s in eng.t.seqs)
+    total_j = sum(len(p) for p in eng.t.jpos)
+    spacing = max(1.0, total_bp / max(1, total_j))
+    w_need = eng.b / spacing + eng.depth + 4
+    W0 = 16
+    while W0 < WIDE_W and W0 < w_need:
+        W0 *= 2
     tiers = []
     if small and mesh is None:
         # narrow slabs: seed counts at Mbp scale average ~14, so the
         # [L, 64]-instance / [L, 128]-path tier cuts every per-push sort
         # ~8x; lanes that outgrow it replay from seed at the full width
-        tiers.append((SMALL_CAP, 16, SMALL_CAP, SMALL_PATH))
+        tiers.append((SMALL_CAP, W0, SMALL_CAP, SMALL_PATH))
     elif small:
-        tiers.append((SMALL_CAP, 16, I_CAP, P_CAP))
-    tiers.append((I_CAP, 16, I_CAP, P_CAP))
-    tiers.extend([(I_CAP, 64, I_CAP, P_CAP), (I_CAP, WIDE_W, I_CAP, P_CAP)])
+        tiers.append((SMALL_CAP, W0, I_CAP, P_CAP))
+    if W0 < WIDE_W:
+        tiers.append((I_CAP, W0, I_CAP, P_CAP))
+        tiers.extend(
+            (I_CAP, w, I_CAP, P_CAP)
+            for w in (64, WIDE_W)
+            if w > W0
+        )
+    else:
+        tiers.append((I_CAP, WIDE_W, I_CAP, P_CAP))
 
     results: List[List[Instance]] = [[] for _ in range(nb)]
     work = list(range(nb))
     oracle: List[int] = []
     n_disp = 0
     steps0 = 0
-    # SZ_FUSED_LANE_CHUNK caps lanes per dispatch.  The fused program is
-    # selftest-proven at L=32 but faults the TPU worker at L=256 on this
-    # environment (benchmarks/results/lcb_engines.json); a small cap trades
-    # dispatch count for the proven shape class.
+    # SZ_FUSED_LANE_CHUNK caps lanes per dispatch (debug knob; the round-3
+    # "L=256 faults the worker" observation was the 60 s dispatch kill,
+    # fixed by segmentation — lane width was never the trigger).
     lane_cap = int(os.environ.get("SZ_FUSED_LANE_CHUNK", "0") or 0)
     vb = vote_budget or VOTE_BUDGET
     for t, (CAP, W, IC, PC) in enumerate(tiers):
