@@ -171,11 +171,41 @@ def align_blocks_to_maf(
 
         msas = [poa_msa_alt_ties(rows) for rows in blocks_seqs]
     elif engine == "tpu":
+        import threading
+
         from sibeliaz_tpu.align import tpu_poa
 
-        msas = tpu_poa.poa_msa_batch_tpu(
+        # blocks over the device scratch budget are known up front — run
+        # them on the native engine CONCURRENTLY with the device
+        # dispatches (ctypes releases the GIL; the device path mostly
+        # waits on tunnel RPC), instead of serially afterwards
+        elig = tpu_poa.device_budget_eligible(
             blocks_seqs, budget_bytes=device_budget
         )
+        dev_idx = [g for g, e in enumerate(elig) if e]
+        nat_idx = [g for g, e in enumerate(elig) if not e]
+        msas: List[List[bytes] | None] = [None] * len(blocks_seqs)
+
+        def _native_side():
+            out = poa_msa_batch(
+                [blocks_seqs[g] for g in nat_idx],
+                threads=threads, budget_bytes=budget_bytes,
+            )
+            for g, m in zip(nat_idx, out):
+                msas[g] = m
+
+        th = None
+        if nat_idx:
+            th = threading.Thread(target=_native_side)
+            th.start()
+        dev_out = tpu_poa.poa_msa_batch_tpu(
+            [blocks_seqs[g] for g in dev_idx], budget_bytes=device_budget
+        )
+        if th is not None:
+            th.join()
+        for g, m in zip(dev_idx, dev_out):
+            msas[g] = m
+        # runtime fallbacks (extract overflow etc.) redo natively
         missing = [g for g, m in enumerate(msas) if m is None]
         if missing:
             redo = poa_msa_batch(

@@ -220,6 +220,30 @@ def _extract_arrays(g: PoaGraph, n_max: int):
 HBM_BUDGET = 4 << 30
 
 
+def device_budget_eligible(
+    blocks_seqs: Sequence[Sequence[np.ndarray]],
+    node_budget_factor: float = 1.75,
+    budget_bytes: Optional[int] = None,
+) -> List[bool]:
+    """Per block: does its (L, n_max) bucket fit the device scratch
+    budget?  The same routing test poa_msa_batch_tpu applies up front —
+    callers can schedule ineligible blocks on the native engine
+    CONCURRENTLY with the device dispatches instead of serially after
+    them (the native redo was ~40% of the device-engine wall time on the
+    examples-full-maf config)."""
+    hbm_budget = HBM_BUDGET if budget_bytes is None else max(
+        64 << 20, budget_bytes // 3
+    )
+    out = []
+    for seqs in blocks_seqs:
+        max_len = max(len(s) for s in seqs)
+        L = max(64, 1 << (max_len - 1).bit_length())
+        n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
+        per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)
+        out.append(per_block <= hbm_budget)
+    return out
+
+
 def poa_msa_batch_tpu(
     blocks_seqs: Sequence[Sequence[np.ndarray]],
     node_budget_factor: float = 1.75,

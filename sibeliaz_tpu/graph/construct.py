@@ -25,6 +25,7 @@ stage (2) with (k-1)-halo exchange lives in sibeliaz_tpu/parallel.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Sequence, Tuple
 
@@ -603,6 +604,35 @@ if _core_name not in _CORES:
 _v7_core = _CORES[_core_name]
 
 
+def pack_codes_host(codes: np.ndarray):
+    """Pack a BAD_CODE-carrying uint8 code stream into (2-bit codes,
+    1-bit validity bitmap) for upload — 0.375 B/position instead of 1.
+    The tunnel moves ~16-50 MB/s, so upload was ~28% of a warm bench
+    graph pass; len(codes) must be a multiple of 8 (bucket-padded)."""
+    valid = codes != alphabet.BAD_CODE
+    c = np.where(valid, codes, 0).astype(np.uint8).reshape(-1, 4)
+    packed = c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+    nmask = np.packbits(
+        valid.reshape(-1, 8), axis=1, bitorder="little"
+    ).ravel()
+    return packed, nmask
+
+
+def unpack_codes_device(packed, nmask, n: int):
+    """Device inverse of pack_codes_host (invalid positions -> BAD_CODE)."""
+    i = jnp.arange(n, dtype=jnp.int32)
+    c = (packed[i >> 2] >> ((i & 3) * 2).astype(jnp.uint8)) & 3
+    v = (nmask[i >> 3] >> (i & 7).astype(jnp.uint8)) & 1
+    return jnp.where(v > 0, c, alphabet.BAD_CODE).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _junction_kernel_compact_v9_packed(packed, nmask, k, capacity, n):
+    return junction_records_compact_v9(
+        unpack_codes_device(packed, nmask, n), k, capacity
+    )
+
+
 _junction_kernel = jax.jit(junction_analysis, static_argnums=(1,))
 _junction_kernel_packed = jax.jit(junction_analysis_packed, static_argnums=(1,))
 _junction_kernel_compact_v7 = jax.jit(
@@ -674,7 +704,8 @@ def build_junctions(
     codes = alphabet.encode(joined)
     capacity = max(4096, len(joined) // 3)
     prof = os.environ.get("SZ_GRAPH_PROFILE")
-    codes_in = jnp.asarray(codes)
+    pk_host, nm_host = pack_codes_host(codes)
+    pk_in, nm_in = jnp.asarray(pk_host), jnp.asarray(nm_host)
     if prof:
         # profile mode: force a sync at the upload boundary so the wall
         # clock attributes to (upload, kernel, fetch, host decode).  Syncs
@@ -684,17 +715,19 @@ def build_junctions(
         import time as _t
 
         _t0 = _t.time()
-        codes_in = jax.device_put(codes_in)
-        _ = np.asarray(codes_in[-1])
+        pk_in = jax.device_put(pk_in)
+        nm_in = jax.device_put(nm_in)
+        _ = np.asarray(pk_in[-1]), np.asarray(nm_in[-1])
         _prof_t = {"upload": _t.time() - _t0}
+        _prof_t["upload_bytes"] = len(pk_host) + len(nm_host)
         _prof_t["t0"] = _t.time()
     # v9 = payload-carrying sorts + running-maximum class broadcasts (no
     # standalone random gathers/scatters, no segment ops) + on-device signed
     # id assignment + 4-byte packed payload (uint8 pos deltas with a sorted
     # escape list, 24-bit ids), so the host does no id work and one
     # contiguous 4 B/junction stream crosses the tunnel.
-    count, out_pos, out_id, pack, id_ovf = _junction_kernel_compact_v9(
-        codes_in, k, capacity
+    count, out_pos, out_id, pack, id_ovf = _junction_kernel_compact_v9_packed(
+        pk_in, nm_in, k, capacity, len(codes)
     )
     count = int(count)
     if prof:

@@ -475,7 +475,25 @@ def build_junctions_streamed_resident(
             [codes_np,
              np.full(padded - len(codes_np), alphabet.BAD_CODE, np.uint8)]
         )
-    codes_all = jnp.asarray(codes_np)
+    # packed upload: 0.375 B/position h2d instead of 1 (the tunnel moves
+    # ~16-50 MB/s, so the raw byte stream was seconds of upload at
+    # chromosome scale); one device-side unpack rematerializes the code
+    # stream resident in HBM
+    from sibeliaz_tpu.graph.construct import (
+        pack_codes_host,
+        unpack_codes_device,
+    )
+
+    n8 = -(-len(codes_np) // 8) * 8
+    if n8 > len(codes_np):
+        codes_np = np.concatenate(
+            [codes_np, np.full(n8 - len(codes_np), alphabet.BAD_CODE,
+                               np.uint8)]
+        )
+    pk_np, nm_np = pack_codes_host(codes_np)
+    codes_all = jax.jit(unpack_codes_device, static_argnums=(2,))(
+        jnp.asarray(pk_np), jnp.asarray(nm_np), n8
+    )
 
     per_round = int((N * round_slack) / n_rounds) + M
     # round up to a chunk multiple (a pow2 pad would nearly double the
