@@ -285,7 +285,9 @@ def _round_bucket2(ch, cl, n_rounds):
     return h % jnp.int64(n_rounds) if isinstance(n_rounds, int) else h % n_rounds
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(
+    jax.jit, static_argnums=(6, 7, 8, 9, 10, 11), donate_argnums=(5,)
+)
 def _round_scan_pass(codes_all, r0, n_rounds, ci0, ci1, carry,
                      G: int, k: int, chunk: int, cap: int, wide: bool,
                      two_limb: bool):
@@ -506,11 +508,15 @@ def build_junctions_streamed_resident(
     # analysis working set is unchanged — epilogues consume one buffer at
     # a time).  Budget the EXTRA buffers to ~3 GB.
     row_bytes = (24 if two_limb else 16) + (8 if wide else 4)
-    G_budget = int(os.environ.get("SZ_ROUNDS_PER_PASS_BYTES", str(3 << 30)))
+    # 2 GB default: a 3 GB G-budget compiled to a 15.86 GB plan at
+    # 2x256 Mbp (OOM by 0.11 GB) — the XLA plan runs well above the naive
+    # buffer sum, so leave margin
+    G_budget = int(os.environ.get("SZ_ROUNDS_PER_PASS_BYTES", str(2 << 30)))
     G = max(1, min(n_rounds, G_budget // max(cap * row_bytes, 1)))
     # chunks per dispatch: this backend kills dispatches past ~60 s of
     # runtime; ~0.3 s/chunk-scan measured => 32 chunks ~ 10 s, 6x margin
     seg_chunks = int(os.environ.get("SZ_SCAN_SEG_CHUNKS", "32"))
+    stream_stats = os.environ.get("SZ_STREAM_STATS")
     while True:
         parts = []
         oparts = []
@@ -533,13 +539,25 @@ def build_junctions_streamed_resident(
                     jnp.zeros(G, jnp.int64),
                     jnp.bool_(False),
                 )
+            import time as _t
+
+            _t0 = _t.time()
             for ci0 in range(0, n_chunks, seg_chunks):
                 carry = _round_scan_pass(
                     codes_all, jnp.int64(r0), jnp.int64(n_rounds),
                     jnp.int64(ci0), jnp.int64(min(ci0 + seg_chunks, n_chunks)),
                     carry, G, k, M, cap, wide, two_limb,
                 )
-            if bool(carry[-1]):  # cursor overflow in some round buffer
+            ovf_now = bool(carry[-1])  # fetch = sync: pass fully timed
+            if stream_stats:
+                import sys as _sys
+
+                print(
+                    f"[stream] pass r0={r0} G={G} scan {_t.time() - _t0:.1f}s",
+                    file=_sys.stderr, flush=True,
+                )
+                _t0 = _t.time()
+            if ovf_now:  # cursor overflow in some round buffer
                 overflowed = True
                 break
             limb_bufs = carry[:2] if two_limb else carry[:1]
@@ -563,6 +581,13 @@ def build_junctions_streamed_resident(
                     if wide:
                         oparts.append(np.asarray(oo[:n_j]))
             del carry, limb_bufs, bp, bg, queued
+            if stream_stats:
+                import sys as _sys
+
+                print(
+                    f"[stream] pass r0={r0} epilogues {_t.time() - _t0:.1f}s",
+                    file=_sys.stderr, flush=True,
+                )
             if overflowed:
                 break
         if not overflowed:
