@@ -44,6 +44,17 @@ class JunctionTable:
     occ_ch: np.ndarray  # uint8 annotation char (successor on + strand)
     occ_revch: np.ndarray  # uint8 annotation char (predecessor complement)
 
+    # Flat concatenations with per-chr offsets.  jpos/jid/used above are
+    # zero-copy VIEWS into these (used mutations write through), so
+    # consumers that need the flat layout (the native engine's C ABI,
+    # DeviceTables, the per-phase used refresh) never re-concatenate.
+    chr_off: np.ndarray = None  # int64 [n_chr+1]
+    jpos_flat: np.ndarray = None
+    jid_flat: np.ndarray = None
+    used_flat: np.ndarray = None
+    seq_off: np.ndarray = None  # int64 [n_chr+1]
+    seq_flat: np.ndarray = None
+
     @property
     def n_chr(self) -> int:
         return len(self.seqs)
@@ -74,9 +85,8 @@ class JunctionTable:
         abundance = np.bincount(np.abs(all_ids).astype(np.int64), minlength=n_vertices)
 
         # Pass 2: keep records whose vertex abundance < threshold.
-        jpos: List[np.ndarray] = []
-        jid: List[np.ndarray] = []
-        used: List[np.ndarray] = []
+        jpos_l: List[np.ndarray] = []
+        jid_l: List[np.ndarray] = []
         occ_v: List[np.ndarray] = []
         occ_c: List[np.ndarray] = []
         occ_i: List[np.ndarray] = []
@@ -97,12 +107,39 @@ class JunctionTable:
             else:
                 ids = np.zeros(0, np.int64)
                 pos = np.zeros(0, np.int64)
-            jpos.append(pos)
-            jid.append(ids)
-            used.append(np.zeros(len(pos), dtype=np.uint8))
+            jpos_l.append(pos)
+            jid_l.append(ids)
             occ_v.append(np.abs(ids))
             occ_c.append(np.full(len(ids), c, dtype=np.int32))
             occ_i.append(np.arange(len(ids), dtype=np.int64))
+
+        # flat layout once; per-chr entries become zero-copy views
+        chr_off = np.zeros(len(seqs) + 1, dtype=np.int64)
+        for c in range(len(seqs)):
+            chr_off[c + 1] = chr_off[c] + len(jpos_l[c])
+        jpos_flat = (
+            np.concatenate(jpos_l) if jpos_l else np.zeros(0, np.int64)
+        )
+        jid_flat = (
+            np.concatenate(jid_l) if jid_l else np.zeros(0, np.int64)
+        )
+        used_flat = np.zeros(len(jpos_flat), dtype=np.uint8)
+        seq_off = np.zeros(len(seqs) + 1, dtype=np.int64)
+        for c in range(len(seqs)):
+            seq_off[c + 1] = seq_off[c] + len(seqs[c])
+        seq_flat = (
+            np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs])
+            if len(seqs) else np.zeros(0, np.uint8)
+        )
+        jpos = [
+            jpos_flat[chr_off[c]:chr_off[c + 1]] for c in range(len(seqs))
+        ]
+        jid = [
+            jid_flat[chr_off[c]:chr_off[c + 1]] for c in range(len(seqs))
+        ]
+        used = [
+            used_flat[chr_off[c]:chr_off[c + 1]] for c in range(len(seqs))
+        ]
 
         # Occurrence CSR sorted by (vertex, chr, idx): chromosome-order concat
         # is already (chr, idx)-sorted, so a stable sort by vertex suffices.
@@ -153,4 +190,10 @@ class JunctionTable:
             occ_idx=ii,
             occ_ch=ch,
             occ_revch=revch,
+            chr_off=chr_off,
+            jpos_flat=jpos_flat,
+            jid_flat=jid_flat,
+            used_flat=used_flat,
+            seq_off=seq_off,
+            seq_flat=seq_flat,
         )

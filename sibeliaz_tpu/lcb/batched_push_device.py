@@ -72,17 +72,11 @@ class DeviceTables:
     @classmethod
     def build(cls, table: JunctionTable) -> "DeviceTables":
         n_chr = table.n_chr
-        chr_off = np.zeros(n_chr + 1, np.int64)
-        for c in range(n_chr):
-            chr_off[c + 1] = chr_off[c] + len(table.jpos[c])
-        used_all = (
-            np.concatenate(table.used) if n_chr else np.zeros(0, np.uint8)
-        )
+        chr_off = table.chr_off
+        used_all = table.used_flat
         pfx = np.zeros(len(used_all) + 1, np.int64)
         np.cumsum(used_all, out=pfx[1:])
-        seq_off = np.zeros(n_chr + 1, np.int64)
-        for c in range(n_chr):
-            seq_off[c + 1] = seq_off[c] + len(table.seqs[c])
+        seq_off = table.seq_off
         # All flat arrays are padded to power-of-two buckets so every jit
         # program over DeviceTables caches across inputs of similar size
         # (each distinct table shape is otherwise a fresh multi-minute
@@ -93,21 +87,12 @@ class DeviceTables:
         return cls(
             chr_off=jnp.asarray(_padded(chr_off, chr_off[-1], lo=4)),
             chr_len=jnp.asarray(_padded(np.diff(chr_off), 0, lo=4)),
-            jpos=jnp.asarray(_padded(
-                np.concatenate(table.jpos) if n_chr else np.zeros(0, np.int64),
-                0,
-            )),
-            jid=jnp.asarray(_padded(
-                np.concatenate(table.jid) if n_chr else np.zeros(0, np.int64),
-                0,
-            )),
+            jpos=jnp.asarray(_padded(table.jpos_flat, 0)),
+            jid=jnp.asarray(_padded(table.jid_flat, 0)),
             used_pfx=jnp.asarray(_padded(pfx, pfx[-1])),
             used=jnp.asarray(_padded(used_all, 0)),
             seq_off=jnp.asarray(_padded(seq_off, seq_off[-1], lo=4)),
-            seq=jnp.asarray(_padded(
-                np.concatenate(table.seqs) if n_chr else np.zeros(0, np.uint8),
-                ord("N"),
-            )),
+            seq=jnp.asarray(_padded(table.seq_flat, ord("N"))),
             occ_off=jnp.asarray(_padded(
                 table.occ_off.astype(np.int64), table.occ_off[-1]
             )),

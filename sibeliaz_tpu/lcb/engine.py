@@ -72,24 +72,15 @@ def run_native(
     """Run the native engine; mutates table.used like the reference does."""
     lib = _load()
     n_chr = table.n_chr
-    chr_off = np.zeros(n_chr + 1, dtype=np.int64)
-    for c in range(n_chr):
-        chr_off[c + 1] = chr_off[c] + len(table.jpos[c])
-    jpos = (
-        np.concatenate(table.jpos) if n_chr else np.zeros(0, np.int64)
-    ).astype(np.int64, copy=False)
-    jid = (
-        np.concatenate(table.jid) if n_chr else np.zeros(0, np.int64)
-    ).astype(np.int64, copy=False)
-    used = (
-        np.concatenate(table.used) if n_chr else np.zeros(0, np.uint8)
-    ).astype(np.uint8, copy=False)
-    seq_off = np.zeros(n_chr + 1, dtype=np.int64)
-    for c in range(n_chr):
-        seq_off[c + 1] = seq_off[c] + len(table.seqs[c])
-    seq = (
-        np.concatenate(table.seqs) if n_chr else np.zeros(0, np.uint8)
-    ).astype(np.uint8, copy=False)
+    # zero-copy: the table's flat layout is shared with its per-chr views,
+    # so the engine's in-place `used` mutations are immediately visible
+    # through table.used — no concatenate, no copy-back
+    chr_off = table.chr_off
+    jpos = table.jpos_flat
+    jid = table.jid_flat
+    used = table.used_flat
+    seq_off = table.seq_off
+    seq = table.seq_flat
     occ_off = table.occ_off.astype(np.int64, copy=False)
     occ_chr = table.occ_chr.astype(np.int32, copy=False)
     occ_idx = table.occ_idx.astype(np.int64, copy=False)
@@ -115,10 +106,6 @@ def run_native(
         flat = np.ctypeslib.as_array(ptr, shape=(n * 4,)).copy() if n else np.zeros(0, np.int64)
     finally:
         lib.sz_lcb_free(handle)
-
-    # propagate used flags back into the table (reference mutates in place)
-    for c in range(n_chr):
-        table.used[c][:] = used[chr_off[c] : chr_off[c + 1]]
 
     blocks = [
         Block(int(flat[4 * i]), int(flat[4 * i + 1]), int(flat[4 * i + 2]), int(flat[4 * i + 3]))

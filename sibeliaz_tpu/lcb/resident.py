@@ -591,9 +591,7 @@ def _device_tables(eng: LcbEngine) -> DeviceTables:
         tb = DeviceTables.build(eng.t)
         eng._resident_tb = tb
         return tb
-    used_all = (
-        np.concatenate(eng.t.used) if eng.t.n_chr else np.zeros(0, np.uint8)
-    )
+    used_all = eng.t.used_flat
     # pad to the cached table's pow2 bucket (cumsum over trailing zeros
     # keeps the prefix's final value, so the pad rows stay semantics-free)
     n_pad = tb.used.shape[0]
