@@ -621,16 +621,23 @@ def pack_codes_host(codes: np.ndarray):
 def unpack_codes_device(packed, nmask, n: int):
     """Device inverse of pack_codes_host (invalid positions -> BAD_CODE).
 
-    Reshape-interleave, NOT gather: element i comes from packed[i//4]'s
-    (i%4)-th 2-bit field, which a [n/4, 4] stack + contiguous reshape
-    produces with elementwise shifts only (a gather formulation measured
-    +0.3 s on the 2^24 bench bucket)."""
-    c = jnp.stack(
-        [(packed >> (2 * j)) & 3 for j in range(4)], axis=1
-    ).reshape(-1)[:n]
-    v = jnp.stack(
-        [(nmask >> j) & 1 for j in range(8)], axis=1
-    ).reshape(-1)[:n]
+    Two formulations, picked by size: the [n/4, 4] stack + contiguous
+    reshape is elementwise-only (a gather measured +0.3 s at the 2^24
+    bench bucket) but TPU tiling pads its minor dim 32x — 15.4 GB of
+    HLO temp at 2x256 Mbp (measured OOM) — so chromosome-scale inputs
+    use the 1-D gather formulation instead (no padded temporaries; the
+    one-time cost is noise at that scale)."""
+    if n <= (1 << 26):
+        c = jnp.stack(
+            [(packed >> (2 * j)) & 3 for j in range(4)], axis=1
+        ).reshape(-1)[:n]
+        v = jnp.stack(
+            [(nmask >> j) & 1 for j in range(8)], axis=1
+        ).reshape(-1)[:n]
+    else:
+        i = jnp.arange(n, dtype=jnp.int32)
+        c = (packed[i >> 2] >> ((i & 3) * 2).astype(jnp.uint8)) & 3
+        v = (nmask[i >> 3] >> (i & 7).astype(jnp.uint8)) & 1
     return jnp.where(v > 0, c, alphabet.BAD_CODE).astype(jnp.uint8)
 
 
