@@ -593,6 +593,12 @@ def build_junctions_streamed_resident(
         if not overflowed:
             break
         n_rounds *= 2  # skewed bucket or junction-dense input: re-round
+        # resize cap to the new round population: keeping the old cap
+        # would pin G at its old value (a 2x512 Mbp run measured G=1 for
+        # 32 rounds — 32 full input rescans); the recompile this forces
+        # is rare (retry path) and pays for itself immediately
+        per_round = int((N * round_slack) / n_rounds) + M
+        cap = max(M, -(-per_round // M) * M)
         G = max(1, min(n_rounds, G_budget // max(cap * row_bytes, 1)))
 
     if not parts:
