@@ -137,36 +137,19 @@ def _chunk_scan2(codes_u8: jnp.ndarray, k: int):
     return ch, cl, packed, positive
 
 
-@jax.jit
-def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
-    """Per-class junction predicates over one round's records (padded with
-    _INVALID_CANON rows).  Returns (is_junction, first_gpos) per record.
+def _class_analysis_sorted(seg_start, invalid_s, packed_s, gpos_s,
+                           gather_first: bool = False):
+    """Per-class junction predicates over CLASS-SORTED rows.  Returns
+    (is_junction, first_gpos) per sorted row.
 
-    PRECONDITION: callers must supply records in ascending-gpos order
-    (both round paths do — the resident rounds scan chunks in genome
-    order and the host-bucketed path concatenates chunk buckets in scan
-    order).  first_gpos is read from the class-START rank of the stable
-    (canon, row) sort, which equals the class minimum gpos only under
-    that insertion order.
-
-    Round-3 formulation (the construct._v7_core_cummax2 pattern, which
-    measured 3.25x over segment/spread formulations on the monolithic
-    kernel): stable payload-carrying sort, int32 last-set ladders, the
-    nine class facts evaluated at class END rows only, the one-bit
-    junction verdict spread back with a single packed reversed cummax,
-    and class-first gpos via a gather from the class-start rank (gather
-    because gpos may exceed 2^32 on the >=4 Gbp host-bucketed path, so it
-    cannot ride a packed cummax).  Output-identical to the old
-    argsort + segment_max/segment_min version (streamed paths are
-    bit-equality-tested against the monolithic kernel)."""
-    n = canon.shape[0]
-    row = jnp.arange(n, dtype=jnp.int64)
-    canon_s, perm, packed_s, gpos_s = jax.lax.sort(
-        (canon, row, packed, gpos), num_keys=2
-    )
-    seg_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
-    )
+    Round-4 formulation (construct._v7_core_cummax2 pattern): int32
+    last-set ladders, the nine class facts evaluated at class END rows
+    only, the one-bit junction verdict spread back with a single packed
+    reversed cummax, and class-first gpos riding a packed (rank << 32 |
+    gpos) cummax when gpos < 2^32 (both resident-round payloads).  The
+    >=4 Gbp host-bucketed path has unbounded int64 gpos and sets
+    `gather_first` to read it from the class-start rank instead."""
+    n = packed_s.shape[0]
     seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
 
     rank32 = jnp.arange(n, dtype=jnp.int32)
@@ -187,11 +170,46 @@ def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
         jnp.int64(-1),
     )
     spread = jax.lax.cummax(vp[::-1])[::-1]
-    isj_s = ((spread & 1) > 0) & (canon_s != _INVALID_CANON)
-    # stable sort keeps ascending insertion (= gpos) order within a class,
-    # so the class minimum gpos sits at the class-start rank
-    first_s = jnp.take(gpos_s, start_rank)
+    isj_s = ((spread & 1) > 0) & ~invalid_s
+    # ascending insertion (= gpos) order within a class, so the class
+    # minimum gpos sits at the class-start row
+    if gather_first:
+        first_s = jnp.take(gpos_s, start_rank)
+    else:
+        first_s = jax.lax.cummax(
+            jnp.where(
+                seg_start,
+                (rank32.astype(jnp.int64) << 32) | gpos_s,
+                jnp.int64(-1),
+            )
+        ) & ((jnp.int64(1) << 32) - 1)
+    return isj_s, first_s
 
+
+@jax.jit
+def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
+    """Per-class junction predicates over one round's records (padded with
+    _INVALID_CANON rows).  Returns (is_junction, first_gpos) per record,
+    in the caller's (insertion) row order.
+
+    PRECONDITION: callers must supply records in ascending-gpos order
+    (both round paths do — the resident rounds scan chunks in genome
+    order and the host-bucketed path concatenates chunk buckets in scan
+    order).  first_gpos is derived from the class-START row of the
+    (canon, row) sort, which equals the class minimum gpos only under
+    that insertion order."""
+    n = canon.shape[0]
+    row = jnp.arange(n, dtype=jnp.int32)
+    canon_s, perm, packed_s, gpos_s = jax.lax.sort(
+        (canon, row, packed, gpos), num_keys=2
+    )
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), canon_s[1:] != canon_s[:-1]]
+    )
+    isj_s, first_s = _class_analysis_sorted(
+        seg_start, canon_s == _INVALID_CANON, packed_s, gpos_s,
+        gather_first=True,
+    )
     isj = jnp.zeros(n, bool).at[perm].set(isj_s)
     first = jnp.zeros(n, jnp.int64).at[perm].set(first_s)
     return isj, first
@@ -201,10 +219,9 @@ def _round_analysis(canon: jnp.ndarray, packed: jnp.ndarray, gpos: jnp.ndarray):
 def _round_analysis2(ch, cl, packed, gpos):
     """Two-limb variant of _round_analysis: class identity is the
     lexicographic (hi, lo) pair, so the grouping sort carries two keys and
-    segment starts compare both limbs.  Same round-3 end-row/one-bit-
-    spread formulation as _round_analysis."""
+    segment starts compare both limbs."""
     n = ch.shape[0]
-    row = jnp.arange(n, dtype=jnp.int64)
+    row = jnp.arange(n, dtype=jnp.int32)
     ch_s, cl_s, perm, packed_s, gpos_s = jax.lax.sort(
         (ch, cl, row, packed, gpos), num_keys=3
     )
@@ -214,29 +231,10 @@ def _round_analysis2(ch, cl, packed, gpos):
             (ch_s[1:] != ch_s[:-1]) | (cl_s[1:] != cl_s[:-1]),
         ]
     )
-    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
-
-    rank32 = jnp.arange(n, dtype=jnp.int32)
-    start_rank = jax.lax.cummax(jnp.where(seg_start, rank32, -1))
-    shifts = jnp.array([0, 1, 2, 3, 5, 6, 7, 8, 10], dtype=jnp.int32)
-    bits = ((packed_s[None, :] >> shifts[:, None]) & 1) > 0
-    last_set = jax.lax.cummax(
-        jnp.where(bits, rank32[None, :], jnp.int32(-1)), axis=1
+    isj_s, first_s = _class_analysis_sorted(
+        seg_start, ch_s == _INVALID_CANON, packed_s, gpos_s,
+        gather_first=True,
     )
-    has_end = last_set >= start_rank[None, :]
-    distinct_r = jnp.sum(has_end[0:4].astype(jnp.int32), axis=0)
-    distinct_l = jnp.sum(has_end[4:8].astype(jnp.int32), axis=0)
-    jbit = (distinct_r > 1) | (distinct_l > 1) | has_end[8]
-    vp = jnp.where(
-        seg_end,
-        ((jnp.int64(n - 1) - rank32.astype(jnp.int64)) << 1)
-        | jbit.astype(jnp.int64),
-        jnp.int64(-1),
-    )
-    spread = jax.lax.cummax(vp[::-1])[::-1]
-    isj_s = ((spread & 1) > 0) & (ch_s != _INVALID_CANON)
-    first_s = jnp.take(gpos_s, start_rank)
-
     isj = jnp.zeros(n, bool).at[perm].set(isj_s)
     first = jnp.zeros(n, jnp.int64).at[perm].set(first_s)
     return isj, first
@@ -399,36 +397,55 @@ def _round_epilogue(limbs, buf_packed, buf_gpos, wide: bool,
                     two_limb: bool):
     """Class analysis + junction compaction of ONE round buffer (the tail
     of the round-3 _round_scan, as its own dispatch so round buffers from
-    a multi-round pass are consumed one at a time)."""
+    a multi-round pass are consumed one at a time).
+
+    Round-4: runs entirely in class-sorted order — the class sort carries
+    an int32 insertion-rank payload, the analysis core evaluates on the
+    sorted rows, and the junction rows compact with ONE sort keyed by
+    that insertion rank.  The previous version scattered isj/first back
+    to insertion order (two random [cap]-scatters, the dominant epilogue
+    cost at chromosome scale) and then re-sorted for compaction."""
     cap = buf_packed.shape[0]
+    row = jnp.arange(cap, dtype=jnp.int32)
     if two_limb:
-        isj, first = _round_analysis2(
-            limbs[0], limbs[1], buf_packed & 0x7FF,
-            buf_gpos.astype(jnp.int64),
+        ch_s, cl_s, perm, packed_s, gpos_s = jax.lax.sort(
+            (limbs[0], limbs[1], row, buf_packed, buf_gpos), num_keys=3
+        )
+        seg_start = jnp.concatenate(
+            [
+                jnp.ones(1, dtype=bool),
+                (ch_s[1:] != ch_s[:-1]) | (cl_s[1:] != cl_s[:-1]),
+            ]
         )
     else:
-        isj, first = _round_analysis(
-            limbs[0], buf_packed & 0x7FF, buf_gpos.astype(jnp.int64)
+        ch_s, perm, packed_s, gpos_s = jax.lax.sort(
+            (limbs[0], row, buf_packed, buf_gpos), num_keys=2
         )
+        seg_start = jnp.concatenate(
+            [jnp.ones(1, dtype=bool), ch_s[1:] != ch_s[:-1]]
+        )
+    isj_s, first_s = _class_analysis_sorted(
+        seg_start, ch_s == _INVALID_CANON, packed_s & 0x7FF,
+        gpos_s.astype(jnp.int64),
+    )
     out_cap = cap // 3
-    row = jnp.arange(cap, dtype=jnp.int32)
-    key3 = jnp.where(isj, row, jnp.int32(cap))
-    orient = ((buf_packed >> 11) & 1).astype(jnp.uint8)
+    key3 = jnp.where(isj_s, perm, jnp.int32(cap))
+    orient = ((packed_s >> 11) & 1).astype(jnp.uint8)
     if wide:
         packed_out = (
-            (buf_gpos.astype(jnp.uint64) << 32)
-            | first.astype(jnp.uint64)
+            (gpos_s.astype(jnp.uint64) << 32)
+            | first_s.astype(jnp.uint64)
         )
         _, po, oo = jax.lax.sort((key3, packed_out, orient), num_keys=1)
     else:
         packed_out = (
-            (buf_gpos.astype(jnp.int64) << 32)
-            | (first.astype(jnp.int64) << 1)
+            (gpos_s.astype(jnp.int64) << 32)
+            | (first_s << 1)
             | orient.astype(jnp.int64)
         )
         _, po = jax.lax.sort((key3, packed_out), num_keys=1)
         oo = jnp.zeros(cap, jnp.uint8)
-    n_j = jnp.sum(isj.astype(jnp.int32))
+    n_j = jnp.sum(isj_s.astype(jnp.int32))
     overflow = n_j > out_cap
     return n_j, po[:out_cap], oo[:out_cap], overflow
 
