@@ -154,15 +154,33 @@ def _class_analysis_sorted(seg_start, invalid_s, packed_s, gpos_s,
 
     rank32 = jnp.arange(n, dtype=jnp.int32)
     start_rank = jax.lax.cummax(jnp.where(seg_start, rank32, -1))
-    shifts = jnp.array([0, 1, 2, 3, 5, 6, 7, 8, 10], dtype=jnp.int32)
-    bits = ((packed_s[None, :] >> shifts[:, None]) & 1) > 0  # [9, n]
-    last_set = jax.lax.cummax(
-        jnp.where(bits, rank32[None, :], jnp.int32(-1)), axis=1
+    # Each VALID row's packed word has exactly one right-extension bit
+    # (0..3), one left-extension bit (5..8), and an optional boundary bit
+    # (10) — see _chunk_scan.  "class has >=2 distinct right extensions"
+    # is therefore segmented max(r) != min(r) over the class, and a
+    # segmented max rides a packed (start_rank << 2 | value) cummax:
+    # earlier classes have strictly smaller start_rank, so the running
+    # max self-resets at class boundaries.  This replaces the round-3
+    # [9, n] one-hot rank ladders (whose materializations were ~220 B/row
+    # of XLA temp at chromosome caps) with five [n] int32 chains.
+    # start_rank < 2^29 is required for the << 2 pack — round buffers are
+    # HBM-bounded orders of magnitude below that.
+    r_ext = 31 - jax.lax.clz(packed_s & 15)  # -1 only on pad rows (p==0)
+    l_ext = 31 - jax.lax.clz((packed_s >> 5) & 15)
+    rc = jnp.maximum(r_ext, 0)
+    lc = jnp.maximum(l_ext, 0)
+    bnd = (packed_s >> 10) & 1
+    base = start_rank << 2
+    rmax = jax.lax.cummax(base | rc)
+    rmin = jax.lax.cummax(base | (3 - rc))
+    lmax = jax.lax.cummax(base | lc)
+    lmin = jax.lax.cummax(base | (3 - lc))
+    bany = jax.lax.cummax((start_rank << 1) | bnd)
+    jbit = (
+        ((rmax & 3) + (rmin & 3) != 3)
+        | ((lmax & 3) + (lmin & 3) != 3)
+        | ((bany & 1) > 0)
     )
-    has_end = last_set >= start_rank[None, :]  # valid at end rows
-    distinct_r = jnp.sum(has_end[0:4].astype(jnp.int32), axis=0)
-    distinct_l = jnp.sum(has_end[4:8].astype(jnp.int32), axis=0)
-    jbit = (distinct_r > 1) | (distinct_l > 1) | has_end[8]
     vp = jnp.where(
         seg_end,
         ((jnp.int64(n - 1) - rank32.astype(jnp.int64)) << 1)
@@ -525,11 +543,15 @@ def build_junctions_streamed_resident(
     # analysis working set is unchanged — epilogues consume one buffer at
     # a time).  Budget the EXTRA buffers to ~3 GB.
     row_bytes = (24 if two_limb else 16) + (8 if wide else 4)
-    # 2 GB default: a 3 GB G-budget compiled to a 15.86 GB plan at
-    # 2x256 Mbp (OOM by 0.11 GB) — the XLA plan runs well above the naive
-    # buffer sum, so leave margin
-    G_budget = int(os.environ.get("SZ_ROUNDS_PER_PASS_BYTES", str(2 << 30)))
-    G = max(1, min(n_rounds, G_budget // max(cap * row_bytes, 1)))
+    # 8 GB default (round 4): with the pass carry donated across segment
+    # dispatches and the slim 5-chain epilogue (2.22 GB temp at a 50M-row
+    # cap, was 11.07 GB with the [9, n] ladders), the AOT memory analysis
+    # at 2x128 Mbp measures scan peak ~10.8 GB and epilogue peak ~10.6 GB
+    # at G=8 — inside the 15.75 GB chip.  G is additionally capped at 8:
+    # the remote compiler 500s on the G=9 unrolled pass body at this cap.
+    G_budget = int(os.environ.get("SZ_ROUNDS_PER_PASS_BYTES", str(8 << 30)))
+    G_cap = int(os.environ.get("SZ_ROUNDS_PER_PASS_MAX", "8"))
+    G = max(1, min(n_rounds, G_cap, G_budget // max(cap * row_bytes, 1)))
     # chunks per dispatch: this backend kills dispatches past ~60 s of
     # runtime; ~0.3 s/chunk-scan measured => 32 chunks ~ 10 s, 6x margin
     seg_chunks = int(os.environ.get("SZ_SCAN_SEG_CHUNKS", "32"))
@@ -616,7 +638,7 @@ def build_junctions_streamed_resident(
         # is rare (retry path) and pays for itself immediately
         per_round = int((N * round_slack) / n_rounds) + M
         cap = max(M, -(-per_round // M) * M)
-        G = max(1, min(n_rounds, G_budget // max(cap * row_bytes, 1)))
+        G = max(1, min(n_rounds, G_cap, G_budget // max(cap * row_bytes, 1)))
 
     if not parts:
         return empty
