@@ -511,6 +511,74 @@ def _v7_core_cummax2(codes_u8: jnp.ndarray, k: int):
     return junction_s, first_s, idx_s, packed_s, seg_start
 
 
+def _v7_core_cummax3(codes_u8: jnp.ndarray, k: int):
+    """Segmented-max-chain core (round 4): same outputs as
+    _v7_core_cummax2 with the [9, n] one-hot rank ladders replaced by
+    five packed [n] int32 chains.
+
+    Every valid row's packed word has exactly one right-extension bit
+    (0..3), one left-extension bit (5..8), and an optional boundary bit
+    (10), so "class contains >=2 distinct right extensions" is segmented
+    max(r) != min(r) of the 2-bit extension value.  A segmented max rides
+    a packed (start_rank << 2 | value) cummax: earlier classes have
+    strictly smaller start_rank, so the running max self-resets at class
+    boundaries (requires start_rank < 2^29; the monolithic bucket is
+    HBM-capped far below).  Differential-tested identical to the other
+    cores (tests/test_graph.py::test_v7_cores_identical)."""
+    n = codes_u8.shape[0]
+    keys, packed, idx = _prepare_packed(codes_u8, k)
+
+    *keys_s, packed_s, idx_s = jax.lax.sort(
+        (*keys, packed, idx), num_keys=len(keys), is_stable=True
+    )
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), keys_s[0][1:] != keys_s[0][:-1]]
+    )
+    for ks in keys_s[1:]:
+        seg_start = seg_start | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), ks[1:] != ks[:-1]]
+        )
+    invalid_s = keys_s[0] == _INVALID_CANON
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones(1, dtype=bool)])
+
+    rank32 = jnp.arange(n, dtype=jnp.int32)
+    start_rank = jax.lax.cummax(jnp.where(seg_start, rank32, -1))
+    r_ext = 31 - jax.lax.clz(packed_s & 15)  # -1 only where packed == 0
+    l_ext = 31 - jax.lax.clz((packed_s >> 5) & 15)
+    rc = jnp.maximum(r_ext, 0)
+    lc = jnp.maximum(l_ext, 0)
+    bnd = (packed_s >> 10) & 1
+    base = start_rank << 2
+    rmax = jax.lax.cummax(base | rc)
+    rmin = jax.lax.cummax(base | (3 - rc))
+    lmax = jax.lax.cummax(base | lc)
+    lmin = jax.lax.cummax(base | (3 - lc))
+    bany = jax.lax.cummax((start_rank << 1) | bnd)
+    jbit = (
+        ((rmax & 3) + (rmin & 3) != 3)
+        | ((lmax & 3) + (lmin & 3) != 3)
+        | ((bany & 1) > 0)
+    )
+    vp = jnp.where(
+        seg_end,
+        ((jnp.int64(n - 1) - rank32.astype(jnp.int64)) << 1)
+        | jbit.astype(jnp.int64),
+        jnp.int64(-1),
+    )
+    spread = jax.lax.cummax(vp[::-1])[::-1]
+    junction_s = ((spread & 1) > 0) & ~invalid_s
+
+    rank = jnp.arange(n, dtype=jnp.int64)
+    M = jnp.int64(1) << 32
+    first_s = (
+        jax.lax.cummax(
+            jnp.where(seg_start, rank * M + idx_s.astype(jnp.int64), -1)
+        )
+        % M
+    ).astype(jnp.int32)
+    return junction_s, first_s, idx_s, packed_s, seg_start
+
+
 def _popcount4(x: jnp.ndarray) -> jnp.ndarray:
     """Number of set bits among the low 4 bits of x (int32)."""
     return (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
@@ -593,6 +661,7 @@ def _v7_core_scan(codes_u8: jnp.ndarray, k: int):
 _CORES = {
     "cummax": _v7_core_cummax,
     "cummax2": _v7_core_cummax2,
+    "cummax3": _v7_core_cummax3,
     "scan": _v7_core_scan,
 }
 _core_name = os.environ.get("SZ_JUNCTION_CORE", "cummax2")

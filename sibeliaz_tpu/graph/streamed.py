@@ -285,8 +285,13 @@ _MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as two's compl.
 
 def _round_bucket(canon, n_rounds: int):
     """Deterministic class->round assignment (any pure function of canon
-    keeps a class whole; a multiplicative mix balances the buckets)."""
-    h = (canon * _MIX) & jnp.int64(0x7FFFFFFFFFFFFFFF)
+    keeps a class whole).  The product's HIGH bits feed the modulo
+    (Fibonacci hashing): its low bits are just a permutation of
+    canon mod 2^b, and canon's low bits (the k-mer's last bases on the
+    canonical strand) are biased by the canonical-strand selection —
+    measured 1.8-1.9x max/mean round skew for power-of-two n_rounds,
+    enough to overflow a 1.5x-slack round buffer."""
+    h = ((canon * _MIX) >> 32) & jnp.int64(0x7FFFFFFF)
     return h % jnp.int64(n_rounds) if isinstance(n_rounds, int) else h % n_rounds
 
 
@@ -296,8 +301,9 @@ _MIX2 = np.int64(-4417276706812531889)
 
 def _round_bucket2(ch, cl, n_rounds):
     """Two-limb class->round assignment: mix both limbs so classes that
-    share a hi limb still spread across rounds."""
-    h = ((ch * _MIX) ^ (cl * _MIX2)) & jnp.int64(0x7FFFFFFFFFFFFFFF)
+    share a hi limb still spread across rounds.  High product bits feed
+    the modulo for the same skew reason as _round_bucket."""
+    h = (((ch * _MIX) ^ (cl * _MIX2)) >> 32) & jnp.int64(0x7FFFFFFF)
     return h % jnp.int64(n_rounds) if isinstance(n_rounds, int) else h % n_rounds
 
 
@@ -473,7 +479,7 @@ def build_junctions_streamed_resident(
     k: int,
     chunk_size: int = 1 << 22,
     n_rounds: int = 4,
-    round_slack: float = 1.5,
+    round_slack: float = 1.25,
     force_wide: bool = False,
 ) -> List[JunctionChr]:
     """Bit-identical to construct.build_junctions; device memory is
@@ -534,14 +540,14 @@ def build_junctions_streamed_resident(
 
     per_round = int((N * round_slack) / n_rounds) + M
     # round up to a chunk multiple (a pow2 pad would nearly double the
-    # round buffer at chromosome scale); retries double n_rounds but keep
-    # this cap — same compiled shape, smaller per-round population
+    # round buffer at chromosome scale); retries double n_rounds and
+    # re-derive cap/G/seg_chunks for the new round population
     cap = max(M, -(-per_round // M) * M)
     two_limb = k > 31
     # G = rounds materialized per input rescan: the scan passes drop from
     # n_rounds to ceil(n_rounds/G) at G x the round-buffer bytes (the
     # analysis working set is unchanged — epilogues consume one buffer at
-    # a time).  Budget the EXTRA buffers to ~3 GB.
+    # a time).
     row_bytes = (24 if two_limb else 16) + (8 if wide else 4)
     # 8 GB default (round 4): with the pass carry donated across segment
     # dispatches and the slim 5-chain epilogue (2.22 GB temp at a 50M-row
@@ -553,8 +559,15 @@ def build_junctions_streamed_resident(
     G_cap = int(os.environ.get("SZ_ROUNDS_PER_PASS_MAX", "8"))
     G = max(1, min(n_rounds, G_cap, G_budget // max(cap * row_bytes, 1)))
     # chunks per dispatch: this backend kills dispatches past ~60 s of
-    # runtime; ~0.3 s/chunk-scan measured => 32 chunks ~ 10 s, 6x margin
-    seg_chunks = int(os.environ.get("SZ_SCAN_SEG_CHUNKS", "32"))
+    # runtime; ~0.3 s/chunk-scan measured at G<=3 but ~1.0 s at G=7-8
+    # (the G-loop's per-round append slices), so high-G passes halve the
+    # chunk count to keep a dispatch ~16 s even under tunnel load
+    _seg_env = os.environ.get("SZ_SCAN_SEG_CHUNKS")
+
+    def _seg_chunks(g: int) -> int:
+        return int(_seg_env) if _seg_env else (32 if g <= 4 else 16)
+
+    seg_chunks = _seg_chunks(G)
     stream_stats = os.environ.get("SZ_STREAM_STATS")
     while True:
         parts = []
@@ -639,6 +652,7 @@ def build_junctions_streamed_resident(
         per_round = int((N * round_slack) / n_rounds) + M
         cap = max(M, -(-per_round // M) * M)
         G = max(1, min(n_rounds, G_cap, G_budget // max(cap * row_bytes, 1)))
+        seg_chunks = _seg_chunks(G)
 
     if not parts:
         return empty
@@ -717,13 +731,15 @@ def build_junctions_streamed(
         valid = limbs[0] != int(_INVALID_CANON)
         gpos = np.arange(start, end, dtype=np.int64)
         pk = packed.astype(np.int32) | (positive.astype(np.int32) << 11)
+        # same Fibonacci-hash bucketing as the resident rounds (numpy
+        # int64 multiply wraps two's-complement like the device mix)
         if two_limb:
             h = (
-                (limbs[0][valid] * int(_MIX)) ^ (limbs[1][valid] * int(_MIX2))
-            ) & 0x7FFFFFFFFFFFFFFF
+                (limbs[0][valid] * _MIX) ^ (limbs[1][valid] * _MIX2)
+            ) >> 32 & 0x7FFFFFFF
             rnd = h % n_rounds
         else:
-            rnd = (limbs[0][valid] % n_rounds).astype(np.int64)
+            rnd = ((limbs[0][valid] * _MIX) >> 32 & 0x7FFFFFFF) % n_rounds
         lv = [x[valid] for x in limbs]
         pv, gv = pk[valid], gpos[valid]
         for r in range(n_rounds):
