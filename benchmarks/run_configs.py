@@ -141,6 +141,19 @@ def run_config(name):
         records = construct.build_junctions(seqs, cfg.k)
         extra["graph_warm_seconds"] = round(time.time() - t_g, 2)
         res = pipeline.find_blocks(seqs, names, cfg, records=records)
+    elif name == "chromosome-k25-1g":
+        # >=1 Gbp total: two ~0.5 Gbp chromosomes — the scaling waypoint
+        # toward the reference's 2^32-bp chromosome contract
+        # (junctionapi.h:32-33, README.md:25-26)
+        seqs, names = synth(8, 2, 1, 512_000_000, mut=0.01, invert=False)
+        cfg = Config(k=25, threads=threads)
+        t_g = time.time()
+        records = construct.build_junctions(seqs, cfg.k)
+        extra["graph_seconds"] = round(time.time() - t_g, 2)
+        t_g = time.time()
+        records = construct.build_junctions(seqs, cfg.k)
+        extra["graph_warm_seconds"] = round(time.time() - t_g, 2)
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
     elif name == "chromosome-k33-crosscheck":
         # two-limb k at chromosome scale: the device-resident rounds and the
         # host-bucketed streamed path are independent implementations; their
