@@ -171,3 +171,37 @@ def test_streamed_wide_k_wide_payload():
         seqs, 33, chunk_size=2048, n_rounds=2, force_wide=True
     )
     assert_same(want, got)
+
+
+def test_round_bucket_balance_power_of_two():
+    """Class->round buckets must stay balanced for power-of-two round
+    counts.  The pre-round-4 hash fed the LOW bits of canon * MIX to the
+    modulo; those reduce to a permutation of canon mod 2^b, which the
+    canonical-strand selection biases — measured 1.8-1.9x max/mean skew,
+    enough to overflow a slack-sized round buffer and trap chromosome
+    runs in the double-rounds retry loop."""
+    import jax.numpy as jnp
+
+    from sibeliaz_tpu.graph import streamed
+
+    rng = np.random.default_rng(7)
+    seq = alphabet.decode(rng.integers(0, 4, size=200_000).astype(np.uint8))
+    codes = np.concatenate(
+        [[ord("N")], seq, [ord("N")]]
+    ).astype(np.uint8)
+    block = jnp.asarray(alphabet.encode(codes)[: (1 << 17) + 27])
+    canon, _, _ = streamed._chunk_scan(block, 25)
+    canon = np.asarray(canon)
+    canon = canon[canon != int(streamed._INVALID_CANON)]
+    ch, cl, _, _ = streamed._chunk_scan2(jnp.asarray(
+        alphabet.encode(codes)[: (1 << 17) + 43]), 33)
+    ch_np, cl_np = np.asarray(ch), np.asarray(cl)
+    keep2 = ch_np != int(streamed._INVALID_CANON)
+    for R in (8, 16):
+        b = np.asarray(streamed._round_bucket(jnp.asarray(canon), R))
+        cnt = np.bincount(b, minlength=R)
+        assert cnt.max() / cnt.mean() < 1.2, (R, cnt.tolist())
+        b2 = np.asarray(streamed._round_bucket2(
+            jnp.asarray(ch_np[keep2]), jnp.asarray(cl_np[keep2]), R))
+        cnt2 = np.bincount(b2, minlength=R)
+        assert cnt2.max() / cnt2.mean() < 1.2, (R, cnt2.tolist())
