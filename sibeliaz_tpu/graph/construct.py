@@ -777,7 +777,12 @@ def build_junctions(
         per_pos = STREAMED_PEAK_BYTES_PER_POS
         if k > 31:
             per_pos = int(per_pos * 1.4)
-        n_rounds = max(1, -(-(bucket * per_pos) // budget))
+        # size rounds from the REAL input length: the streamed path pads
+        # to a chunk multiple, not to the pow2 bucket, and sizing from
+        # the bucket doubles the round count (and the rescan passes) for
+        # any input just above a power of two (2.2 Gbp -> 128 rounds
+        # instead of 66).  The overflow retry covers underestimates.
+        n_rounds = max(1, -(-(len(joined) * per_pos) // budget))
         return streamed.build_junctions_streamed_resident(
             seqs, k, n_rounds=int(n_rounds)
         )
