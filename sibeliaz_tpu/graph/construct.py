@@ -781,8 +781,13 @@ def build_junctions(
         # to a chunk multiple, not to the pow2 bucket, and sizing from
         # the bucket doubles the round count (and the rescan passes) for
         # any input just above a power of two (2.2 Gbp -> 128 rounds
-        # instead of 66).  The overflow retry covers underestimates.
-        n_rounds = max(1, -(-(len(joined) * per_pos) // budget))
+        # instead of 66).  The resident path re-joins with a LEADING
+        # separator plus one trailing separator per sequence, so its N is
+        # sum(lengths) + len(seqs) + 1, not len(joined) — sizing from the
+        # latter undershoots for many short sequences, and an overflow
+        # retry at chromosome scale costs a full recompile + rescan.
+        n_eff = sum(lengths) + len(seqs) + 1
+        n_rounds = max(1, -(-(n_eff * per_pos) // budget))
         return streamed.build_junctions_streamed_resident(
             seqs, k, n_rounds=int(n_rounds)
         )

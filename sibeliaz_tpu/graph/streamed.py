@@ -543,6 +543,15 @@ def build_junctions_streamed_resident(
     # round buffer at chromosome scale); retries double n_rounds and
     # re-derive cap/G/seg_chunks for the new round population
     cap = max(M, -(-per_round // M) * M)
+    # _class_analysis_sorted packs (start_rank << 2 | v) into int32, which
+    # requires row counts < 2^29 (< 2^30 for the boundary chain).  HBM
+    # sizing keeps cap orders of magnitude below that; fail loudly if the
+    # sizing logic ever changes rather than return wrong junction verdicts.
+    if cap >= 1 << 29:
+        raise ValueError(
+            f"round-buffer cap {cap} exceeds the 2^29-row packing bound of "
+            "_class_analysis_sorted; lower chunk_size or raise n_rounds"
+        )
     two_limb = k > 31
     # G = rounds materialized per input rescan: the scan passes drop from
     # n_rounds to ceil(n_rounds/G) at G x the round-buffer bytes (the
@@ -569,6 +578,7 @@ def build_junctions_streamed_resident(
 
     seg_chunks = _seg_chunks(G)
     stream_stats = os.environ.get("SZ_STREAM_STATS")
+    n_rounds_initial = n_rounds
     while True:
         parts = []
         oparts = []
@@ -644,6 +654,14 @@ def build_junctions_streamed_resident(
                 break
         if not overflowed:
             break
+        # Bounded retries: cap floors at one chunk (~M rows), and a single
+        # k-mer class larger than that can never be split by doubling
+        # n_rounds (classes stay whole by design) — without a bound a
+        # pathological repeat-dense input would retry/recompile forever.
+        # Fall back to the host-bucketed path, whose per-round buffers are
+        # sized from the actual round population and have no fixed cap.
+        if n_rounds >= 64 * max(1, n_rounds_initial):
+            return build_junctions_streamed(seqs, k, chunk_size, n_rounds)
         n_rounds *= 2  # skewed bucket or junction-dense input: re-round
         # resize cap to the new round population: keeping the old cap
         # would pin G at its old value (a 2x512 Mbp run measured G=1 for
@@ -779,6 +797,12 @@ def build_junctions_streamed(
             )
         n = len(limbs[0])
         n_pad = max(4096, 1 << (n - 1).bit_length())
+        # _class_analysis_sorted's (start_rank << 2 | v) int32 pack needs
+        # row counts < 2^29; fail loudly rather than mis-call junctions
+        assert n_pad < 1 << 29, (
+            f"round bucket {n_pad} rows exceeds the 2^29 packing bound; "
+            "raise n_rounds"
+        )
         limb_p = [np.zeros(n_pad, np.int64) for _ in range(n_limbs)]
         limb_p[0][:] = int(_INVALID_CANON)
         for i in range(n_limbs):
