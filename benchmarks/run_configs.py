@@ -154,6 +154,49 @@ def run_config(name):
         records = construct.build_junctions(seqs, cfg.k)
         extra["graph_warm_seconds"] = round(time.time() - t_g, 2)
         res = pipeline.find_blocks(seqs, names, cfg, records=records)
+    elif name == "chromosome-k25-2g-contract":
+        # The reference's per-chromosome contract is 2^32 bp (uint32 pos,
+        # junctionapi.h:32-33, README.md:25-26).  This config streams TWO
+        # 2,147,000,000 bp chromosomes (each just under 2^31; total 4.294
+        # Gbp = the reference's whole uint32 position space) end-to-end:
+        # the largest prior record was 2 x 512 Mbp.  Sequences are built
+        # chunk-wise at uint8 width so host RAM stays ~3x sequence bytes.
+        L = 2_147_000_000
+        rng = np.random.default_rng(11)
+        from sibeliaz_tpu.core import alphabet
+
+        CH = 1 << 26
+        anc = np.empty(L, np.uint8)
+        for lo in range(0, L, CH):
+            hi = min(lo + CH, L)
+            anc[lo:hi] = alphabet.decode(
+                rng.integers(0, 4, size=hi - lo, dtype=np.int64).astype(
+                    np.uint8
+                )
+            )
+        seqs, names = [], []
+        for g in range(2):
+            s = anc.copy()
+            for lo in range(0, L, CH):
+                hi = min(lo + CH, L)
+                pos = lo + np.flatnonzero(
+                    rng.random(hi - lo) < 0.01
+                ).astype(np.int64)
+                s[pos] = alphabet.decode(
+                    rng.integers(0, 4, size=len(pos), dtype=np.int64).astype(
+                        np.uint8
+                    )
+                )
+            seqs.append(s)
+            names.append(f"G{g + 1}.C1")
+        del anc
+        cfg = Config(k=25, threads=threads)
+        t_g = time.time()
+        records = construct.build_junctions(seqs, cfg.k)
+        extra["graph_seconds"] = round(time.time() - t_g, 2)
+        extra["junctions"] = int(sum(len(r.pos) for r in records))
+        extra["max_chromosome_bp"] = L
+        res = pipeline.find_blocks(seqs, names, cfg, records=records)
     elif name == "chromosome-k33-crosscheck":
         # two-limb k at chromosome scale: the device-resident rounds and the
         # host-bucketed streamed path are independent implementations; their

@@ -19,11 +19,33 @@ TPU formulation resolves them as:
   * `vmap` over a bucket of blocks, so one device program aligns the next
     copy of every block in the bucket simultaneously.
 
+Certificate-exact banding (round 5; same scheme as the native engine,
+align/native/poa.cpp): per topo rank r the host computes static depth
+ranges [mind, maxd] (source side) and [mins, maxs] (sink side), giving a
+concave piecewise-linear upper bound on the score of any complete
+alignment through cell (i, r).  Restricting the DP to the interval of i
+with bound >= S — for an achieved score S <= S_opt — reproduces the FULL
+DP's traceback byte-for-byte: every cell on any co-optimal path (and of
+such a cell's optimal prefix) has bound >= S_opt >= S so it is computed
+exactly; excluded cells read as NEG and can never win or tie a comparison
+(true scores are bounded far above NEG).  On device each rank gets a
+WINDOW [off[r], off[r]+W) of the sequence axis; the H carry shrinks from
+[n_max+1, L+1] to [n_max+1, W] and the direction matrix likewise, which
+cuts both the per-rank vector work and the per-block HBM scratch by
+(L+1)/W.  Pass 1 bands at a guess S0 = sink_ub - slack; if its achieved
+score certifies (>= S0) the result is final, otherwise the block re-runs
+banded at the achieved score (certified unconditionally) or, with no
+finite score, at full width.  The unbanded case is the same kernel with
+off = 0 and W = L+1.
+
 Scores/tie-breaks mirror align/poa_ref.py exactly (match > deletion >
 insertion, first arg-max over predecessors, smallest-rank sink), so the
-device engine is differential-tested against the executable spec.  Graph
+device engine is differential-tested against the executable spec (which
+stands in for the unmounted spoa submodule invoked as
+`spoa <block.fa> -l 1 -r 1 -e -8`, SibeliaZ-LCB/sibeliaz:67).  Graph
 maintenance (threading the alignment, topological order, MSA emission)
-reuses the spec's PoaGraph on the host — only the O(L·N) DP runs on device.
+reuses the spec's PoaGraph on the host — only the O(N*W) DP runs on
+device.
 
 Blocks whose graphs outgrow the padded node budget or predecessor fan-in
 fall back to the native host engine.
@@ -49,38 +71,55 @@ _DIR_MATCH = 1 << 4
 _DIR_INS = 1 << 5
 
 
-def _dp_single(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_max):
-    """DP for one block; returns (dirs [N, L+1] uint8, best_r int32).
+def _dp_single(seq0p, seq_len, node_char, pred_idx, pred_ok, sink_mask,
+               off, n_max, W):
+    """Windowed DP for one block; returns (dirs [N, W] uint8, best_r,
+    best_sc).
 
-    `dirs` is consumed by the on-device traceback (_tb_single) and never
-    leaves HBM — shipping it d2h was the device engine's bottleneck (at
-    N=7k, L=4k it is ~29 MB per block per round).  A rolling-window H
-    variant (O(D*L) scratch) was tried and measured 4-5x SLOWER here: the
-    modular gather/update indices defeat XLA's in-place scan aliasing, so
-    the full [n_max+1, L+1] carry stays."""
-    L = seq.shape[0]
-    ivec = jnp.arange(L + 1, dtype=jnp.int32)
-    src_col = (GAP * ivec).astype(jnp.int32)  # virtual source column
-    seq0 = jnp.concatenate([jnp.zeros(1, jnp.uint8), seq])
+    `seq0p` is the 1-shifted sequence padded to L+1+W so window slices
+    never read out of range.  Rank r computes sequence rows
+    [off[r], off[r]+W); out-of-window predecessor reads are NEG (the
+    band certificate's guarded reads).  `dirs` is consumed by the
+    on-device traceback (_tb_single) and never leaves HBM — shipping it
+    d2h was the device engine's bottleneck.  A rolling-window H variant
+    (O(D*W) scratch) was tried and measured 4-5x SLOWER here: the
+    modular gather/update indices defeat XLA's in-place scan aliasing,
+    so the full [n_max+1, W] carry stays."""
+    wvec = jnp.arange(W, dtype=jnp.int32)
+    evec = jnp.arange(W + 1, dtype=jnp.int32) - 1  # ext axis: w = -1..W-1
 
-    # carry: H rows for all nodes plus the source column in row n_max; the
-    # scan processes _TILE consecutive topo ranks per step (straight-line
-    # inner unroll; rank t sees ranks t' < t through the updated H).
-    def one_rank(H, r, char_r, pidx, pok):
-        predH = jnp.where(pok[:, None], H[pidx], NEG)
-        shifted = jnp.concatenate(
-            [jnp.full((MAX_PREDS, 1), NEG, jnp.int32), predH[:, :-1]], axis=1
+    def one_rank(H, r, char_r, pidx, pok, off_r):
+        # absolute sequence rows covered by the gather (diag needs w-1)
+        jext = off_r + evec  # [W+1]
+        off_p = off[pidx]  # [P] window starts of the predecessor rows
+        idx = jext[None, :] - off_p[:, None]  # pred-window coords
+        in_win = (idx >= 0) & (idx < W) & (jext[None, :] >= 0)
+        is_src = pidx == n_max
+        gathered = jnp.take_along_axis(
+            H[pidx], jnp.clip(idx, 0, W - 1), axis=1
         )
-        diag_best = jnp.max(shifted, axis=0)
-        diag_slot = jnp.argmax(shifted, axis=0).astype(jnp.uint8)
-        subs = jnp.where(seq0 == char_r, MATCH, MISMATCH).astype(jnp.int32)
+        srcvals = (GAP * jext).astype(jnp.int32)  # virtual source column
+        ext = jnp.where(
+            pok[:, None] & in_win,
+            jnp.where(is_src[:, None], srcvals[None, :], gathered),
+            NEG,
+        )
+        diag_best = jnp.max(ext[:, :-1], axis=0)
+        diag_slot = jnp.argmax(ext[:, :-1], axis=0).astype(jnp.uint8)
+        seq_win = jax.lax.dynamic_slice(seq0p, (off_r,), (W,))
+        subs = jnp.where(seq_win == char_r, MATCH, MISMATCH).astype(
+            jnp.int32
+        )
         diag = diag_best + subs
-        horiz_best = jnp.max(predH, axis=0)
-        horiz_slot = jnp.argmax(predH, axis=0).astype(jnp.uint8)
+        horiz_best = jnp.max(ext[:, 1:], axis=0)
+        horiz_slot = jnp.argmax(ext[:, 1:], axis=0).astype(jnp.uint8)
         horiz = horiz_best + GAP
         is_match = diag >= horiz
         base = jnp.maximum(diag, horiz)
-        col = jax.lax.cummax(base + 8 * ivec) - 8 * ivec
+        # window-relative damping is exact: i = off_r + w and the offset
+        # cancels; w = 0 has no in-window insertion predecessor, matching
+        # the native band's NEG entry sentinel
+        col = jax.lax.cummax(base + 8 * wvec) - 8 * wvec
         is_ins = col > base
         d = jnp.where(is_match, diag_slot | _DIR_MATCH, horiz_slot).astype(
             jnp.uint8
@@ -91,16 +130,15 @@ def _dp_single(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_max):
 
     def step2(carry, xs):
         H, r = carry
-        chars, pidxs, poks = xs
+        chars, pidxs, poks, offs = xs
         ds = []
         for t in range(_TILE):
-            H, d = one_rank(H, r + t, chars[t], pidxs[t], poks[t])
+            H, d = one_rank(H, r + t, chars[t], pidxs[t], poks[t], offs[t])
             ds.append(d)
         return (H, r + _TILE), jnp.stack(ds)
 
     n_tiles = n_max // _TILE
-    H0 = jnp.full((n_max + 1, L + 1), NEG, jnp.int32)
-    H0 = H0.at[n_max].set(src_col)
+    H0 = jnp.full((n_max + 1, W), NEG, jnp.int32)
     (H, _), dirs = jax.lax.scan(
         step2,
         (H0, jnp.int32(0)),
@@ -108,21 +146,27 @@ def _dp_single(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask, n_max):
             node_char.reshape(n_tiles, _TILE),
             pred_idx.reshape(n_tiles, _TILE, MAX_PREDS),
             pred_ok.reshape(n_tiles, _TILE, MAX_PREDS),
+            off[:n_max].reshape(n_tiles, _TILE),
         ),
     )
-    dirs = dirs.reshape(n_max, L + 1)
+    dirs = dirs.reshape(n_max, W)
     # sink selection at row seq_len: max score, then smallest rank
-    scores = H[:n_max, seq_len]
-    scores = jnp.where(sink_mask, scores, NEG)
+    sidx = seq_len - off[:n_max]
+    valid = sink_mask & (sidx >= 0) & (sidx < W)
+    scores = jnp.take_along_axis(
+        H[:n_max], jnp.clip(sidx, 0, W - 1)[:, None], axis=1
+    )[:, 0]
+    scores = jnp.where(valid, scores, NEG)
     best_r = jnp.argmax(scores).astype(jnp.int32)
-    return dirs, best_r
+    return dirs, best_r, scores[best_r]
 
 
-def _tb_single(dirs, best_r, seq_len, pred_idx, n_max, P):
+def _tb_single(dirs, best_r, seq_len, pred_idx, off, n_max, W, P):
     """Traceback on device: walk dirs from (best_r, seq_len) to the virtual
     source, emitting (rank, seqpos) per step (-1 encodes None) into fixed
-    [P] registers.  Mirrors the host/spec traceback's order and tie-breaks
-    exactly; the caller reverses the emitted prefix."""
+    [P] registers.  `i` is the ABSOLUTE sequence row; the dirs lookup maps
+    it into rank r's window.  Mirrors the host/spec traceback's order and
+    tie-breaks exactly; the caller reverses the emitted prefix."""
     out_r = jnp.full(P, -1, jnp.int32)
     out_i = jnp.full(P, -1, jnp.int32)
 
@@ -132,7 +176,7 @@ def _tb_single(dirs, best_r, seq_len, pred_idx, n_max, P):
 
     def body(c):
         i, r, at_src, t, our, oui = c
-        d = dirs[r, jnp.maximum(i, 0)]
+        d = dirs[r, jnp.clip(i - off[r], 0, W - 1)]
         is_ins = ~at_src & ((d & _DIR_INS) != 0)
         is_match = ~at_src & ((d & _DIR_INS) == 0) & ((d & _DIR_MATCH) != 0)
         is_del = ~at_src & ((d & _DIR_INS) == 0) & ((d & _DIR_MATCH) == 0)
@@ -158,17 +202,19 @@ def _tb_single(dirs, best_r, seq_len, pred_idx, n_max, P):
     return out_r, out_i, t
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
-def _dp_tb_batch(seq, seq_len, node_char, pred_idx, pred_ok, sink_mask,
-                 n_max, P):
-    """Fused DP + traceback per block; only the O(L+N) paths leave HBM."""
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _dp_tb_batch(seq0p, seq_len, node_char, pred_idx, pred_ok, sink_mask,
+                 n_max, W, P, off):
+    """Fused DP + traceback per block; only the O(L+N) paths and the
+    certification score leave HBM."""
 
-    def one(a, b, c, d, e, f):
-        dirs, best_r = _dp_single(a, b, c, d, e, f, n_max)
-        return _tb_single(dirs, best_r, b, d, n_max, P)
+    def one(a, b, c, d, e, f, o):
+        dirs, best_r, best_sc = _dp_single(a, b, c, d, e, f, o, n_max, W)
+        out_r, out_i, t = _tb_single(dirs, best_r, b, d, o, n_max, W, P)
+        return out_r, out_i, t, best_sc
 
-    return jax.vmap(one)(seq, seq_len, node_char, pred_idx, pred_ok,
-                         sink_mask)
+    return jax.vmap(one)(seq0p, seq_len, node_char, pred_idx, pred_ok,
+                         sink_mask, off)
 
 
 class _BlockState:
@@ -178,6 +224,10 @@ class _BlockState:
         self.graph.add_first(seqs[0])
         self.next = 1
         self.fallback = False
+        # banding pass-2 state for the CURRENT sequence: None = fresh
+        # (pass 1 at the slack guess); an int = re-band at that achieved
+        # score (certified unconditionally); "full" = full-width re-run
+        self.band_S: Optional[object] = None
 
     @property
     def done(self) -> bool:
@@ -211,6 +261,172 @@ def _extract_arrays(g: PoaGraph, n_max: int):
     return topo, node_char, pred_idx, pred_ok, sink
 
 
+# ---------------------------------------------------------------------------
+# Host-side band computation (the native engine's certificate, vectorized;
+# align/native/poa.cpp "exact banding" block)
+# ---------------------------------------------------------------------------
+
+_BIG = np.int64(1) << 50
+
+
+def _depth_ranges(pred_idx, pred_ok, sink, N, n_max):
+    """Per real rank r < N: [mind, maxd] = min/max source->r path depth
+    (in nodes, source-adjacent = 1) and [mins, maxs] = min/max r->sink
+    remaining depth.  Chain runs (single pred = r-1, the linear backbone)
+    are filled vectorized; only branch/source ranks loop in Python."""
+    ranks = np.arange(N)
+    npred = pred_ok[:N].sum(axis=1)
+    first = pred_idx[:N, 0]
+    is_src = pred_ok[:N, 0] & (first == n_max)
+    chain = (npred == 1) & ~is_src & (first == ranks - 1)
+    branch = np.flatnonzero(~chain)
+
+    mind = np.empty(N, np.int64)
+    maxd = np.empty(N, np.int64)
+    prev = 0
+    for r in branch:
+        if r > prev:  # chain run [prev, r): pred of i is i-1
+            ar = np.arange(1, r - prev + 1)
+            mind[prev:r] = mind[prev - 1] + ar
+            maxd[prev:r] = maxd[prev - 1] + ar
+        if is_src[r]:
+            mind[r] = maxd[r] = 1
+        else:
+            ps = pred_idx[r][pred_ok[r]]
+            mind[r] = mind[ps].min() + 1
+            maxd[r] = maxd[ps].max() + 1
+        prev = r + 1
+    if prev < N:
+        ar = np.arange(1, N - prev + 1)
+        mind[prev:N] = mind[prev - 1] + ar
+        maxd[prev:N] = maxd[prev - 1] + ar
+
+    mins = np.where(sink[:N], 0, _BIG).astype(np.int64)
+    maxs = np.where(sink[:N], 0, -_BIG).astype(np.int64)
+    prev = N
+    for r in branch[::-1]:
+        if prev > r + 1:
+            # chain run [r+1, prev): all external relaxations into its
+            # members came from higher (already processed) ranks, so
+            # in-run propagation is a reversed damped cummin/cummax
+            a, b = r + 1, prev
+            ar = np.arange(a, b)
+            v = np.minimum.accumulate((mins[a:b] + ar)[::-1])[::-1]
+            mins[a:b] = v - ar
+            v = np.maximum.accumulate((maxs[a:b] + ar)[::-1])[::-1]
+            maxs[a:b] = v - ar
+            mins[r] = min(mins[r], mins[a] + 1)
+            maxs[r] = max(maxs[r], maxs[a] + 1)
+        if not is_src[r]:
+            ps = pred_idx[r][pred_ok[r]]
+            np.minimum.at(mins, ps, mins[r] + 1)
+            np.maximum.at(maxs, ps, maxs[r] + 1)
+        prev = r
+    return mind, maxd, mins, maxs
+
+
+def _side_bound(c, dmin, dmax):
+    """Upper bound on aligning `c` chars against a path segment of depth
+    in [dmin, dmax]: 5*min(c, depth) - 8*|c - depth| at the best depth."""
+    return np.where(
+        c < dmin, 13 * c - 8 * dmin,
+        np.where(c > dmax, 13 * dmax - 8 * c, 5 * c),
+    )
+
+
+def _rank_windows(ranges, n, S):
+    """Allowed-i interval per rank at threshold S.  bound(i, r) is concave
+    piecewise-linear in i, so the allowed set is one interval: locate the
+    max over its <=6 breakpoint candidates, then bisect both sides.
+    Returns (ia, ib, reachable) with degenerate [0, 0] for never-allowed
+    ranks (their window contents are guarded underestimates either way)."""
+    mind, maxd, mins, maxs = ranges
+
+    def bound(i):
+        return _side_bound(i, mind, maxd) + _side_bound(n - i, mins, maxs)
+
+    cands = np.stack([
+        np.zeros_like(mind), np.full_like(mind, n),
+        np.clip(mind, 0, n), np.clip(maxd, 0, n),
+        np.clip(n - maxs, 0, n), np.clip(n - mins, 0, n),
+    ])
+    vals = _side_bound(cands, mind, maxd) + _side_bound(
+        n - cands, mins, maxs
+    )
+    kbest = np.argmax(vals, axis=0)
+    ibest = np.take_along_axis(cands, kbest[None], axis=0)[0]
+    vbest = np.take_along_axis(vals, kbest[None], axis=0)[0]
+    allowed = vbest >= S
+
+    lo = np.zeros_like(ibest)
+    hi = ibest.copy()
+    for _ in range(int(n).bit_length() + 1):
+        mid = (lo + hi) >> 1
+        ok = bound(mid) >= S
+        hi = np.where(ok, mid, hi)
+        lo = np.where(ok, lo, mid + 1)
+    ia = lo
+    lo = ibest.copy()
+    hi = np.full_like(ibest, n)
+    for _ in range(int(n).bit_length() + 1):
+        mid = (lo + hi + 1) >> 1
+        ok = bound(mid) >= S
+        lo = np.where(ok, mid, lo)
+        hi = np.where(ok, hi, mid - 1)
+    ib = lo
+    ia = np.where(allowed, ia, 0)
+    ib = np.where(allowed, ib, 0)
+    return ia, ib, allowed
+
+
+def _band_min() -> int:
+    return int(_os.environ.get("SZ_POA_BAND_MIN", "256"))
+
+
+def _band_enabled() -> bool:
+    return _os.environ.get("SZ_POA_BAND", "1") != "0"
+
+
+def _plan_windows(ex, n, L, n_max, band_S):
+    """Per-round banding plan for one block: (off [n_max+1] int32, wneed,
+    S0 or None).  S0 None means unbanded (always certified).  An
+    UNBANDED block still only needs W = n + 1 window columns (its DP
+    cells live in rows 0..n; off = 0 covers them all exactly), so short
+    blocks absorbed into a large-L bucket never pay the bucket's full
+    width."""
+    topo, node_char, pred_idx, pred_ok, sink = ex
+    N = len(topo)
+    bm = _band_min()
+    full = np.zeros(n_max + 1, np.int32)
+    if (
+        not _band_enabled()
+        or band_S == "full"
+        or n < bm
+        or N < bm
+        # NEG-floor guard: true scores must stay far above NEG so a
+        # guarded read can never win/tie (native poa.cpp uses the same
+        # 2^28 margin against its 2^29 floor)
+        or 8 * (n + N) >= (1 << 28)
+    ):
+        return full, n + 1, None
+    ranges = _depth_ranges(pred_idx, pred_ok, sink, N, n_max)
+    sink_ub = int(
+        np.max(np.where(sink[:N], _side_bound(n, ranges[0], ranges[1]),
+                        -_BIG))
+    )
+    if band_S is None:
+        S0 = sink_ub - 13 * (64 + n // 32)
+    else:
+        S0 = int(band_S)  # pass 2: certified unconditionally (S <= S_opt)
+    ia, ib, _ = _rank_windows(ranges, n, S0)
+    wneed = int((ib - ia + 1).max())
+    if 4 * wneed >= 3 * (n + 1):  # band nearly full-width: skip overhead
+        return full, n + 1, None
+    off = np.zeros(n_max + 1, np.int32)
+    off[:N] = ia.astype(np.int32)
+    return off, wneed, S0
+
+
 # Bytes of MODELED scratch (H + dirs) per dispatch.  The true XLA
 # allocation plan runs ~2.6x the model (measured on v5e: a 6 GB-modeled
 # bucket compiled to a 15.84 GB plan and OOMed a 15.75 GB chip — the
@@ -220,27 +436,49 @@ def _extract_arrays(g: PoaGraph, n_max: int):
 HBM_BUDGET = 4 << 30
 
 
+def _per_block_bytes(W: int, n_max: int) -> int:
+    return (n_max + 1) * (W + 1) * 4 + n_max * (W + 1)
+
+
+def _n_max_for(L: int, node_budget_factor: float) -> int:
+    return -(-int(L * node_budget_factor) // _TILE) * _TILE
+
+
+def _west_estimate(L: int, dlen: int) -> int:
+    """Routing-time band width estimate (slack 13*(64+L/32) spans
+    ~2*(64+L/32) sequence rows at the 13/row falloff, plus the length
+    mismatch shifts the diagonal by dlen).  Only used to decide device
+    vs native routing; the dispatch-time plan uses the real band."""
+    return min(L + 1, 2 * (64 + L // 32) + 2 * dlen + 128)
+
+
 def device_budget_eligible(
     blocks_seqs: Sequence[Sequence[np.ndarray]],
     node_budget_factor: float = 1.75,
     budget_bytes: Optional[int] = None,
 ) -> List[bool]:
     """Per block: does its (L, n_max) bucket fit the device scratch
-    budget?  The same routing test poa_msa_batch_tpu applies up front —
-    callers can schedule ineligible blocks on the native engine
-    CONCURRENTLY with the device dispatches instead of serially after
-    them (the native redo was ~40% of the device-engine wall time on the
-    examples-full-maf config)."""
+    budget at the ESTIMATED band width?  The same routing test
+    poa_msa_batch_tpu applies up front — callers can schedule ineligible
+    blocks on the native engine CONCURRENTLY with the device dispatches
+    instead of serially after them (the native redo was ~40% of the
+    device-engine wall time on the examples-full-maf config)."""
     hbm_budget = HBM_BUDGET if budget_bytes is None else max(
         64 << 20, budget_bytes // 3
     )
     out = []
     for seqs in blocks_seqs:
-        max_len = max(len(s) for s in seqs)
+        lens = [len(s) for s in seqs]
+        max_len = max(lens)
         L = max(64, 1 << (max_len - 1).bit_length())
-        n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
-        per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)
-        out.append(per_block <= hbm_budget)
+        n_max = _n_max_for(L, node_budget_factor)
+        if max_len >= _band_min() and _band_enabled():
+            west = _west_estimate(L, max_len - min(lens))
+        else:
+            west = max_len + 1  # unbanded runs at its own width
+        out.append(
+            _per_block_bytes(min(west, L + 1), n_max) <= hbm_budget
+        )
     return out
 
 
@@ -272,14 +510,15 @@ def poa_msa_batch_tpu(
         buckets.setdefault(L, []).append(b)
     # Merge small buckets upward: per-dispatch RPC latency dominates this
     # tunneled backend (135 ms measured at B=8), so fewer, FULLER
-    # dispatches beat tighter padding — the DP runs at ~1.5% of its HBM
+    # dispatches beat tighter padding — the DP runs far below its HBM
     # bound, so padded compute is nearly free.  Greedy smallest-first:
     # absorb a bucket into the next one whenever the combined block count
-    # still fits one batch dispatch at the larger shape.
+    # still fits one batch dispatch at the larger shape (banded width
+    # estimate — the dispatch-time cap uses the real band).
     def _cap_at(L: int) -> int:
-        n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
-        per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)
-        return int(hbm_budget // max(per_block, 1))
+        n_max = _n_max_for(L, node_budget_factor)
+        west = _west_estimate(L, 0) if L >= _band_min() else L + 1
+        return int(hbm_budget // max(_per_block_bytes(west, n_max), 1))
 
     merged: dict = {}
     pend_members: list = []
@@ -294,21 +533,27 @@ def poa_msa_batch_tpu(
         pend_members = []
     buckets = merged
     for L, members in sorted(buckets.items()):
-        n_max = -(-int(L * node_budget_factor) // _TILE) * _TILE
-        per_block = (n_max + 1) * (L + 1) * 4 + n_max * (L + 1)  # H + dirs
-        if per_block > hbm_budget:
-            # even ONE such block's true allocation plan exceeds the chip
-            # (measured: a modeled-9.4G single-block dispatch compiled to a
-            # 15.84G plan and OOMed a 15.75G v5e) — route the bucket to the
-            # native fallback instead of forcing a doomed dispatch
-            for b in members:
+        n_max = _n_max_for(L, node_budget_factor)
+        keep = []
+        for b in members:
+            lens = [len(s) for s in all_states[b].seqs]
+            mx, mn = max(lens), min(lens)
+            if mx >= _band_min() and _band_enabled():
+                west = _west_estimate(L, mx - mn)
+            else:
+                west = mx + 1
+            if _per_block_bytes(min(west, L + 1), n_max) > hbm_budget:
+                # even ONE such block's true allocation plan can exceed
+                # the chip (measured: a modeled-9.4G single-block dispatch
+                # compiled to a 15.84G plan and OOMed a 15.75G v5e) —
+                # route it to the native fallback instead of forcing a
+                # doomed dispatch.  The dispatch-time plan re-checks with
+                # the REAL band width.
                 all_states[b].fallback = True
-            continue
-        # round the cap DOWN to a power of two: _run_bucket pads batches up
-        # to a power of two, which must never exceed the memory budget
-        b_cap = max(1, int(hbm_budget // per_block))
-        b_cap = 1 << (b_cap.bit_length() - 1)
-        _run_bucket(all_states, members, L, n_max, b_cap, mesh=mesh)
+            else:
+                keep.append(b)
+        if keep:
+            _run_bucket(all_states, keep, L, n_max, hbm_budget, mesh=mesh)
     out: List[Optional[List[bytes]]] = []
     for st in all_states:
         out.append(None if st.fallback else st.graph.msa())
@@ -319,8 +564,10 @@ import os as _os
 import sys as _sys
 import time as _time
 
-_STATS = {"extract_s": 0.0, "device_s": 0.0, "thread_s": 0.0, "h2d_build_s": 0.0,
-          "dispatches": 0, "blocks_dispatched": 0}
+_STATS = {"extract_s": 0.0, "device_s": 0.0, "thread_s": 0.0,
+          "h2d_build_s": 0.0, "band_s": 0.0, "dispatches": 0,
+          "blocks_dispatched": 0, "band_pass2": 0, "band_full": 0,
+          "banded_rounds": 0, "w_pad_max": 0}
 
 
 def _poa_stats_enabled() -> bool:
@@ -333,15 +580,19 @@ def poa_stats_dump() -> dict:
     return dict(_STATS)
 
 
+def _round_pow2(x: int, lo: int) -> int:
+    return max(lo, 1 << (int(x) - 1).bit_length())
+
+
 def _run_bucket(states: List[_BlockState], members: List[int], L: int,
-                n_max: int, b_cap: int, mesh=None) -> None:
+                n_max: int, hbm_budget: int, mesh=None) -> None:
     """Drive one (L, n_max) bucket's blocks to completion.
 
     With a mesh, the batch (block) axis is sharded over the mesh's first
     axis — blocks are independent, so GSPMD partitions the whole fused
     DP+traceback with no cross-device communication."""
     while any(not states[b].done for b in members):
-        active = [b for b in members if not states[b].done][:b_cap]
+        active = [b for b in members if not states[b].done]
         t0 = _time.time()
         arrs = []
         for b in active:
@@ -354,27 +605,62 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
         _STATS["extract_s"] += _time.time() - t0
         if not arrs:
             continue
+        # ---- banding plan (host, numpy) ----
+        t0 = _time.time()
+        plans = []
+        for b, ex in arrs:
+            st = states[b]
+            n = len(st.seqs[st.next])
+            off, wneed, S0 = _plan_windows(ex, n, L, n_max, st.band_S)
+            plans.append((b, ex, off, wneed, S0))
+        W = min(_round_pow2(max(p[3] for p in plans), 128), L + 1)
+        if _per_block_bytes(W, n_max) > hbm_budget:
+            # the widest block's plan exceeds the budget: keep the widest
+            # W that fits, run the blocks whose windows fit it, and fall
+            # the rest back to native (measured: an over-budget modeled
+            # plan compiles to ~2.6x and OOMs the chip)
+            fit, dropped = [], []
+            for p in plans:
+                ok = _per_block_bytes(
+                    min(_round_pow2(p[3], 128), L + 1), n_max
+                ) <= hbm_budget
+                (fit if ok else dropped).append(p)
+            for b, *_ in dropped:
+                states[b].fallback = True
+            plans = fit
+            if not plans:
+                continue
+            W = min(_round_pow2(max(p[3] for p in plans), 128), L + 1)
+        _STATS["band_s"] += _time.time() - t0
+        _STATS["w_pad_max"] = max(_STATS["w_pad_max"], W)
+        b_cap = max(1, int(hbm_budget // _per_block_bytes(W, n_max)))
+        # round the cap DOWN to a power of two: batches pad up to a power
+        # of two, which must never exceed the memory budget
+        b_cap = 1 << (b_cap.bit_length() - 1)
+        plans = plans[:b_cap]
         # pad the batch to a power of two so jit compilations are reused
         t0 = _time.time()
-        B = len(arrs)
+        B = len(plans)
         B_pad = 1 << (B - 1).bit_length()
         if mesh is not None:  # batch axis must split evenly over devices
             B_pad = -(-max(B_pad, mesh.size) // mesh.size) * mesh.size
-        seq_b = np.zeros((B_pad, L), dtype=np.uint8)
+        seq_b = np.zeros((B_pad, L + 1 + W), dtype=np.uint8)
         len_b = np.zeros(B_pad, dtype=np.int32)
         char_b = np.zeros((B_pad, n_max), dtype=np.uint8)
         pi_b = np.full((B_pad, n_max, MAX_PREDS), n_max, dtype=np.int32)
         po_b = np.zeros((B_pad, n_max, MAX_PREDS), dtype=bool)
         sink_b = np.zeros((B_pad, n_max), dtype=bool)
-        for j, (b, (topo, nc, pi, po, sk)) in enumerate(arrs):
+        off_b = np.zeros((B_pad, n_max + 1), dtype=np.int32)
+        for j, (b, (topo, nc, pi, po, sk), off, _w, _S0) in enumerate(plans):
             st = states[b]
             s = st.seqs[st.next]
-            seq_b[j, : len(s)] = s
+            seq_b[j, 1 : 1 + len(s)] = s
             len_b[j] = len(s)
             char_b[j] = nc
             pi_b[j] = pi
             po_b[j] = po
             sink_b[j] = sk
+            off_b[j] = off
         P = L + n_max + 2
         if mesh is None:
             dev = jnp.asarray
@@ -389,20 +675,33 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
 
         _STATS["h2d_build_s"] += _time.time() - t0
         t0 = _time.time()
-        out_r, out_i, tcount = _dp_tb_batch(
+        out_r, out_i, tcount, best_sc = _dp_tb_batch(
             dev(seq_b), dev(len_b), dev(char_b),
             dev(pi_b), dev(po_b), dev(sink_b),
-            n_max, P,
+            n_max, W, P, dev(off_b),
         )
         out_r = np.asarray(out_r)
         out_i = np.asarray(out_i)
         tcount = np.asarray(tcount)
+        best_sc = np.asarray(best_sc)
         _STATS["device_s"] += _time.time() - t0
         _STATS["dispatches"] += 1
-        _STATS["blocks_dispatched"] += len(arrs)
+        _STATS["blocks_dispatched"] += len(plans)
         t0 = _time.time()
-        for j, (b, (topo, *_rest)) in enumerate(arrs):
+        for j, (b, (topo, *_rest), off, _w, S0) in enumerate(plans):
             st = states[b]
+            if S0 is not None:
+                _STATS["banded_rounds"] += 1
+                if int(best_sc[j]) < S0 and st.band_S is None:
+                    # pass 1 uncertified: re-run banded at the achieved
+                    # score (<= S_opt, so certified), or full-width if no
+                    # finite in-band path survived
+                    _STATS["band_pass2"] += 1
+                    sc = int(best_sc[j])
+                    st.band_S = sc if sc > -(1 << 28) else "full"
+                    if st.band_S == "full":
+                        _STATS["band_full"] += 1
+                    continue
             s = st.seqs[st.next]
             t = int(tcount[j])
             if t >= P:  # traceback register overflow (cannot happen for a
@@ -416,4 +715,5 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
                             i if i >= 0 else None))
             st.graph.add_alignment(aln, s)
             st.next += 1
+            st.band_S = None
         _STATS["thread_s"] += _time.time() - t0
