@@ -105,6 +105,9 @@ SEG_STEPS = int(_os.environ.get("SZ_FUSED_SEG", "32"))
 SEG_TARGET_S = float(_os.environ.get("SZ_FUSED_SEG_TARGET_S", "15"))
 _SEG_MAX = int(_os.environ.get("SZ_FUSED_SEG_MAX", "256"))
 _seg_state = {"warmed": False}  # first dispatch absorbs the executable load
+# segment-dispatch counter (observability: the segment-boundary stress
+# tests assert boundaries were actually crossed, VERDICT r4 weak #1)
+_seg_counter = {"segments": 0}
 # Walk pushes per outer step: bounds the per-step serial chain (the round-3
 # design nested a whole up-to-2048-push walk loop inside one outer step).
 # Walks longer than WALK_CHUNK simply span multiple outer steps.
@@ -354,6 +357,7 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
             CAP, W, slab_max, tb, carry,
             depth, m, b, flank, min_run, jnp.int64(limit),
         )
+        _seg_counter["segments"] += 1
         new_steps = int(carry["steps"])  # d2h fetch = dispatch sync
         dt = _time.time() - t0
         if _os.environ.get("SZ_FUSED_STATS"):

@@ -113,3 +113,78 @@ def test_fused_lane_chunk_env_independent(monkeypatch):
         return [(i.c, i.s, i.fi, i.bi) for i in insts]
 
     assert [key(x) for x in got] == [key(x) for x in want]
+
+
+def _gff_for(seqs, names, cfg, fused, mesh=None):
+    from sibeliaz_tpu.lcb.fused import run_fused
+    from sibeliaz_tpu.output import gff as gff_mod
+    from sibeliaz_tpu.output import trim as trim_mod
+
+    table = pipeline.build_table(seqs, names, cfg)
+    eng = LcbEngine(table, cfg.min_block_size, cfg.max_branch_size,
+                    cfg.flanking)
+    raw = run_fused(eng, mesh=mesh) if fused else eng.run()
+    chr_lengths = [len(s) for s in seqs]
+    blocks, _ = trim_mod.trim_blocks(raw, chr_lengths, cfg.min_block_size)
+    return gff_mod.render_gff(blocks, names, chr_lengths)
+
+
+def test_fused_segment_boundary_stress(monkeypatch):
+    """The round-4 segmented state machine's riskiest path: mid-walk carry
+    registers and slab snapshots crossing DISPATCH boundaries
+    (blocksfinder.h:228-310 is the protocol being segmented).  Force tiny
+    segments (SZ_FUSED_SEG=4) and tiny walk chunks (SZ_FUSED_WALK_CHUNK=2)
+    so walks span many outer steps AND many dispatches, and assert (a) the
+    GFF stays byte-identical to the host oracle, (b) the segment-dispatch
+    count actually rose versus the default config — proof the boundaries
+    were crossed, not merely configured."""
+    import jax
+
+    from sibeliaz_tpu.lcb import fused as fused_mod
+
+    seqs, names = random_related_genomes(521, length=1200, mut=0.03,
+                                         rearrange=True)
+    cfg = Config(k=15)
+    want = _gff_for(seqs, names, cfg, fused=False)
+
+    results = {}
+    for seg, walk in ((32, 16), (4, 2)):
+        monkeypatch.setattr(fused_mod, "SEG_STEPS", seg)
+        monkeypatch.setattr(fused_mod, "WALK_CHUNK", walk)
+        monkeypatch.setattr(fused_mod, "_SEG_MAX", seg)  # no adaptive growth
+        jax.clear_caches()  # WALK_CHUNK is a trace-time constant
+        fused_mod._seg_counter["segments"] = 0
+        got = _gff_for(seqs, names, cfg, fused=True)
+        assert got == want, f"GFF diverged at seg={seg} walk={walk}"
+        results[(seg, walk)] = fused_mod._seg_counter["segments"]
+    assert results[(4, 2)] > results[(32, 16)], (
+        f"tiny segments did not increase dispatch count: {results}"
+    )
+    assert results[(4, 2)] >= 4, (
+        f"stress config crossed too few boundaries: {results}"
+    )
+
+
+def test_fused_segment_boundary_stress_mesh(monkeypatch):
+    """Same boundary stress with lanes sharded over an 8-device mesh: the
+    device-resident carry must survive dispatch boundaries under GSPMD
+    partitioning too."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from sibeliaz_tpu.lcb import fused as fused_mod
+
+    seqs, names = random_related_genomes(522, length=1200, mut=0.03,
+                                         rearrange=True)
+    cfg = Config(k=15)
+    want = _gff_for(seqs, names, cfg, fused=False)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("lanes",))
+    monkeypatch.setattr(fused_mod, "SEG_STEPS", 4)
+    monkeypatch.setattr(fused_mod, "WALK_CHUNK", 2)
+    monkeypatch.setattr(fused_mod, "_SEG_MAX", 4)
+    jax.clear_caches()
+    fused_mod._seg_counter["segments"] = 0
+    got = _gff_for(seqs, names, cfg, fused=True, mesh=mesh)
+    assert got == want
+    assert fused_mod._seg_counter["segments"] >= 4
