@@ -16,6 +16,28 @@ tie policy and the OPPOSITE (still optimal) policy
 (align/poa_ref.py poa_msa_alt_ties), which brackets where any correct
 spoa-compatible implementation can land.
 
+Round 5 (v3) classifies WHAT the tie-flip divergence is, per changed
+block, with two equivalence metrics:
+
+  * sum-of-pairs score of both MSAs under the invoked spoa scoring
+    (match +5 / mismatch -4 / gap -8, gap-gap 0): equal SP means the two
+    outputs are equally good summaries of the same optimum;
+  * the INDUCED PAIRWISE HOMOLOGIES — for every row pair, the set of
+    residue-position pairs placed in a common column.  Identical pairing
+    sets mean the divergence is pure gap/column PRESENTATION (every
+    residue-residue correspondence agrees); the Jaccard of the pairing
+    sets quantifies substance when they differ.
+
+Default-policy rationale (documented per VERDICT r4 item 5): our order —
+match > deletion > insertion, predecessors in insertion order, smallest
+topo rank at the end node — is the natural iteration order of the
+Lee-Grasso-Sharlow formulation and is implemented identically by the
+spec, the native engine, and the device engine, so the whole framework
+is internally byte-consistent; the envelope below brackets how far ANY
+other optimal-tie-break implementation (the unmounted spoa binary
+included) can land from ours, and the v3 metrics show that distance is
+overwhelmingly presentational.
+
 The census runs the pure-spec engine, so workloads are sized for minutes.
 
 Usage: python benchmarks/poa_tie_census.py  (runs all classes)
@@ -30,6 +52,55 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def _sum_of_pairs(msa):
+    """Sum-of-pairs score under the invoked spoa scoring (sibeliaz:67
+    degenerates to linear gaps): match +5, mismatch -4, residue-vs-gap
+    -8, gap-gap 0."""
+    rows = [np.frombuffer(r, dtype=np.uint8) for r in msa]
+    gap = ord("-")
+    sp = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            ag, bg = a == gap, b == gap
+            both = ~ag & ~bg
+            sp += 5 * int(np.sum(both & (a == b)))
+            sp += -4 * int(np.sum(both & (a != b)))
+            sp += -8 * int(np.sum(ag ^ bg))
+    return sp
+
+
+def _pairings(msa):
+    """Induced pairwise homologies: for each row pair (i, j), the set of
+    (residue index in i, residue index in j) placed in one column."""
+    rows = [np.frombuffer(r, dtype=np.uint8) for r in msa]
+    gap = ord("-")
+    ridx = []
+    for r in rows:
+        ng = r != gap
+        ridx.append((np.cumsum(ng) - 1, ng))
+    out = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            both = ridx[i][1] & ridx[j][1]
+            pi = ridx[i][0][both].astype(np.int64)
+            pj = ridx[j][0][both].astype(np.int64)
+            out[(i, j)] = set(map(tuple, np.stack([pi, pj], 1).tolist()))
+    return out
+
+
+def _homology_metrics(msa, alt):
+    """(identical, jaccard): are the two MSAs' induced pairwise
+    homologies the same set, and their Jaccard index if not."""
+    pa, pb = _pairings(msa), _pairings(alt)
+    inter = union = 0
+    for key in pa:
+        a, b = pa[key], pb[key]
+        inter += len(a & b)
+        union += len(a | b)
+    return inter == union, (inter / union if union else 1.0)
+
 
 # name -> (length, n_genomes, divergence, n_inversions, k, max_len)
 CLASSES = {
@@ -74,6 +145,9 @@ def census_one(name, length, n_genomes, div, n_inv, k, max_len):
     changed_cols = 0
     max_copies = 0
     worst = []
+    sp_equal = sp_ours_better = sp_alt_better = 0
+    homology_identical = 0
+    jaccards = []
     for bid, grp in groups:
         rows = [copy_sequence(b, seqs) for b in grp]
         if max(len(r) for r in rows) > max_len:
@@ -101,6 +175,20 @@ def census_one(name, length, n_genomes, div, n_inv, k, max_len):
                     )
                 else:
                     changed_cols += max(len(alt[0]), len(msa[0]))
+                # v3 equivalence-class metrics: is the divergence
+                # substance (different residue homologies) or pure
+                # gap-placement presentation?
+                spo, spa = _sum_of_pairs(msa), _sum_of_pairs(alt)
+                if spo == spa:
+                    sp_equal += 1
+                elif spo > spa:
+                    sp_ours_better += 1
+                else:
+                    sp_alt_better += 1
+                ident, jac = _homology_metrics(msa, alt)
+                if ident:
+                    homology_identical += 1
+                jaccards.append(jac)
     worst.sort(reverse=True)
     return {
         "shape": {
@@ -121,6 +209,18 @@ def census_one(name, length, n_genomes, div, n_inv, k, max_len):
         "changed_cols_per_kcol": round(
             1000.0 * changed_cols / max(1, total_cols), 3
         ),
+        "v3_equivalence_of_changed_blocks": {
+            "sum_of_pairs_equal": sp_equal,
+            "sum_of_pairs_ours_better": sp_ours_better,
+            "sum_of_pairs_alt_better": sp_alt_better,
+            "pairwise_homologies_identical": homology_identical,
+            "homology_jaccard_mean": round(
+                float(np.mean(jaccards)), 5
+            ) if jaccards else None,
+            "homology_jaccard_min": round(
+                float(np.min(jaccards)), 5
+            ) if jaccards else None,
+        },
         "worst_blocks": worst[:5],
         "census_seconds": round(time.time() - t0, 1),
     }
@@ -135,12 +235,15 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     wanted = sys.argv[1:] or list(CLASSES)
-    out = {"date": "2026-08-21 (round 4)", "classes": {}}
+    out = {"date": "2026-08-21 (round 5)", "classes": {}}
     for name in wanted:
         args = CLASSES[name]
         print(f"[census] {name} ...", file=sys.stderr, flush=True)
         out["classes"][name] = census_one(name, *args)
     out["note"] = (
+        "v3: changed blocks carry equivalence metrics (sum-of-pairs under "
+        "the spoa scoring; induced pairwise-homology identity/Jaccard) "
+        "separating gap-presentation ties from substantive ones.  "
         "ties counted by the executable spec (poa_msa_with_census); the "
         "both-sided envelope compares our tie policy against the opposite "
         "still-optimal policy (poa_msa_alt_ties) — any correct "

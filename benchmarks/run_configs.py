@@ -157,11 +157,16 @@ def run_config(name):
     elif name == "chromosome-k25-2g-contract":
         # The reference's per-chromosome contract is 2^32 bp (uint32 pos,
         # junctionapi.h:32-33, README.md:25-26).  This config streams TWO
-        # 2,147,000,000 bp chromosomes (each just under 2^31; total 4.294
-        # Gbp = the reference's whole uint32 position space) end-to-end:
-        # the largest prior record was 2 x 512 Mbp.  Sequences are built
+        # 2,145,000,000 bp chromosomes (each just under 2^31; total 4.29
+        # Gbp ~ the reference's whole uint32 position space) end-to-end:
+        # the largest prior record was 2 x 512 Mbp.  L is chosen so the
+        # joined stream (2L + 3 separators) stays under the resident
+        # builder's 2^32 - chunk cutoff — above it the build silently
+        # routes to the host-bucketed fallback, which round-trips
+        # ~21 B/position through host RAM (measured: 84 GB RSS and hours
+        # of tunnel traffic at this scale).  Sequences are built
         # chunk-wise at uint8 width so host RAM stays ~3x sequence bytes.
-        L = 2_147_000_000
+        L = 2_145_000_000
         rng = np.random.default_rng(11)
         from sibeliaz_tpu.core import alphabet
 

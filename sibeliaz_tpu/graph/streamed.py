@@ -308,9 +308,9 @@ def _round_bucket2(ch, cl, n_rounds):
 
 
 @functools.partial(
-    jax.jit, static_argnums=(6, 7, 8, 9, 10, 11), donate_argnums=(5,)
+    jax.jit, static_argnums=(7, 8, 9, 10, 11, 12), donate_argnums=(6,)
 )
-def _round_scan_pass(codes_all, r0, n_rounds, ci0, ci1, carry,
+def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
                      G: int, k: int, chunk: int, cap: int, wide: bool,
                      two_limb: bool):
     """Scan chunks [ci0, ci1) once and bucket-append into G ROUND BUFFERS
@@ -321,12 +321,26 @@ def _round_scan_pass(codes_all, r0, n_rounds, ci0, ci1, carry,
     chunk range is traced so the host can segment a pass into several
     dispatches (this backend kills any dispatch running past ~60 s).
 
+    The code stream stays PACKED on device (pkw = 2-bit codes u8[N/4],
+    nmw = validity bits u8[N/8], pack_codes_host's wire format) and each
+    chunk's window is sliced and unpacked in-kernel: chunk starts are
+    word-aligned (chunk % 8 == 0), so the slices are pure u8 loads.
+    This is what carries the resident path past 2^31 positions — the
+    tunneled backend's X64 rewriter refuses any array whose FLAT SIZE
+    needs >32-bit indices (measured: a u8[3<<30] dynamic-slice fails to
+    compile), so the unpacked byte stream can never be device-resident
+    at the 2^32-bp contract scale, while the packed words stay under
+    2^31 elements up to 8.5 Gbp.  It also drops resident HBM from
+    1 B/position to 0.375.
+
     carry = (limb buffers [G, cap] x (1|2), packed [G, cap],
              gpos [G, cap], cursors [G], overflow); the per-chunk sort key
     g_rel*chunk + local left-compacts rows into per-round segments in one
     sort while preserving ascending-gpos order within each round
     (_round_analysis's insertion-order precondition)."""
     win = 1 + chunk + k + 1
+    from sibeliaz_tpu.graph.construct import unpack_codes_device
+
     if two_limb:
         bh, bl, bp, bg, cursors, ovf0 = carry
     else:
@@ -338,7 +352,13 @@ def _round_scan_pass(codes_all, r0, n_rounds, ci0, ci1, carry,
         else:
             bc, bp, bg, cursors, ovf = carry
         start = 1 + ci * chunk
-        block = jax.lax.dynamic_slice(codes_all, (start - 1,), (win,))
+        pk_s = jax.lax.dynamic_slice(
+            pkw, ((start - 1) >> 2,), (win // 4 + 2,)
+        )
+        nm_s = jax.lax.dynamic_slice(
+            nmw, ((start - 1) >> 3,), (win // 8 + 2,)
+        )
+        block = unpack_codes_device(pk_s, nm_s, win)
         if two_limb:
             ch, cl, packed, positive = _chunk_scan2(block, k)
             bucket = _round_bucket2(ch, cl, n_rounds)
@@ -518,25 +538,25 @@ def build_junctions_streamed_resident(
             [codes_np,
              np.full(padded - len(codes_np), alphabet.BAD_CODE, np.uint8)]
         )
-    # packed upload: 0.375 B/position h2d instead of 1 (the tunnel moves
-    # ~16-50 MB/s, so the raw byte stream was seconds of upload at
-    # chromosome scale); one device-side unpack rematerializes the code
-    # stream resident in HBM
-    from sibeliaz_tpu.graph.construct import (
-        pack_codes_host,
-        unpack_codes_device,
-    )
+    # packed upload AND packed residency: 0.375 B/position h2d instead of
+    # 1 (the tunnel moves ~16-50 MB/s, so the raw byte stream was seconds
+    # of upload at chromosome scale), and the scan unpacks each chunk's
+    # window in-kernel — the unpacked stream is never materialized, which
+    # is what carries this path past 2^31 positions on a backend whose
+    # X64 rewriter refuses >32-bit-indexed shapes (see _round_scan_pass).
+    from sibeliaz_tpu.graph.construct import pack_codes_host
 
-    n8 = -(-len(codes_np) // 8) * 8
+    # margin: the last chunk's window slice reads a couple of words past
+    # padded; keep them valid BAD_CODE pad
+    n8 = -(-(len(codes_np) + 16) // 8) * 8
     if n8 > len(codes_np):
         codes_np = np.concatenate(
             [codes_np, np.full(n8 - len(codes_np), alphabet.BAD_CODE,
                                np.uint8)]
         )
     pk_np, nm_np = pack_codes_host(codes_np)
-    codes_all = jax.jit(unpack_codes_device, static_argnums=(2,))(
-        jnp.asarray(pk_np), jnp.asarray(nm_np), n8
-    )
+    pk_dev = jnp.asarray(pk_np)
+    nm_dev = jnp.asarray(nm_np)
 
     per_round = int((N * round_slack) / n_rounds) + M
     # round up to a chunk multiple (a pow2 pad would nearly double the
@@ -606,7 +626,7 @@ def build_junctions_streamed_resident(
             _t0 = _t.time()
             for ci0 in range(0, n_chunks, seg_chunks):
                 carry = _round_scan_pass(
-                    codes_all, jnp.int64(r0), jnp.int64(n_rounds),
+                    pk_dev, nm_dev, jnp.int64(r0), jnp.int64(n_rounds),
                     jnp.int64(ci0), jnp.int64(min(ci0 + seg_chunks, n_chunks)),
                     carry, G, k, M, cap, wide, two_limb,
                 )

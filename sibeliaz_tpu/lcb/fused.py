@@ -340,14 +340,45 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
     abandoned."""
     L = st.ln.chr.shape[0]
     carry = _init_carry(st, active0, L)
-    if mesh is not None:
+
+    def _mesh_put(c, lanes):
         def lane_put(x):
-            if getattr(x, "ndim", 0) >= 1 and x.shape[:1] == (L,):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[:1] == (lanes,):
                 spec = P("lanes", *([None] * (x.ndim - 1)))
                 return jax.device_put(x, NamedSharding(mesh, spec))
             return x
 
-        carry = jax.tree_util.tree_map(lane_put, carry)
+        return jax.tree_util.tree_map(lane_put, c)
+
+    if mesh is not None:
+        carry = _mesh_put(carry, L)
+
+    def _lane_map(fn, c, lanes):
+        """Apply fn to every lane-leading leaf ([lanes, ...]) of a carry."""
+        return jax.tree_util.tree_map(
+            lambda x: fn(x)
+            if getattr(x, "ndim", 0) >= 1 and x.shape[:1] == (lanes,)
+            else x,
+            c,
+        )
+
+    # ---- active-lane compaction (round 5) -------------------------------
+    # Measured at 4x20k: phase 1 spent ~130 of 547 steps on its last 9 of
+    # 256 lanes — every segment still paid the full [L, ...] slab compute.
+    # When the active count falls to <= lanes/2, gather the active rows
+    # into a power-of-two lane bucket (>= COMPACT_MIN so compile shapes
+    # stay few) and keep stepping there; finished lanes' terminal state is
+    # stashed full-size and the compacted rows scatter back at phase end.
+    # Lanes are independent, so compaction is a pure permutation (tested
+    # against the oracle differential).
+    compact_on = _os.environ.get("SZ_FUSED_COMPACT", "1") != "0"
+    COMPACT_MIN = int(_os.environ.get("SZ_FUSED_COMPACT_MIN", "32"))
+    if mesh is not None:
+        COMPACT_MIN = max(COMPACT_MIN, mesh.size)
+    stash = None  # full-L carry holding finished lanes' terminal state
+    gmap: Optional[np.ndarray] = None  # current row -> original lane
+    cur_L = L
+
     steps = 0
     seg = seg0 if seg0 else SEG_STEPS
     while True:
@@ -365,7 +396,8 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
 
             print(
                 f"[fused-seg] steps {steps}->{new_steps} "
-                f"(asked {seg}) in {dt:.1f}s n_active={int(n_active)}",
+                f"(asked {seg}) in {dt:.1f}s n_active={int(n_active)} "
+                f"lanes={cur_L}",
                 file=_sys.stderr, flush=True,
             )
         # adapt toward SEG_TARGET_S s/dispatch within this phase call;
@@ -382,6 +414,47 @@ def _phase_fused(CAP: int, W: int, slab_max: bool, tb: DeviceTables,
         steps = new_steps
         if int(n_active) == 0 or steps >= MAX_STEPS:
             break
+        na = int(n_active)
+        if compact_on and cur_L > COMPACT_MIN and na <= cur_L // 2:
+            act = np.flatnonzero(np.asarray(carry["active"]))
+            L2 = max(COMPACT_MIN, 1 << max(0, int(len(act)) - 1).bit_length())
+            if L2 < cur_L and len(act):
+                if stash is None:
+                    stash = carry
+                    gmap = act
+                else:
+                    # fold the current rows into the full-size stash, then
+                    # narrow the map to the still-active rows
+                    idx = jnp.asarray(gmap)
+                    stash = jax.tree_util.tree_map(
+                        lambda f, p: f.at[idx].set(p[: idx.shape[0]])
+                        if getattr(f, "ndim", 0) >= 1
+                        and f.shape[:1] == (L,) else f,
+                        stash, carry,
+                    )
+                    gmap = gmap[act]
+                pad = np.zeros(L2 - len(act), dtype=act.dtype)
+                idx_pad = jnp.asarray(np.concatenate([act, pad]))
+                carry = _lane_map(lambda x: x[idx_pad], carry, cur_L)
+                carry["active"] = carry["active"] & jnp.asarray(
+                    np.arange(L2) < len(act)
+                )
+                cur_L = L2
+                _seg_counter["compactions"] = (
+                    _seg_counter.get("compactions", 0) + 1
+                )
+                if mesh is not None:
+                    carry = _mesh_put(carry, cur_L)
+    if stash is not None:
+        idx = jnp.asarray(gmap)
+        steps_final = carry["steps"]
+        carry = jax.tree_util.tree_map(
+            lambda f, p: f.at[idx].set(p[: idx.shape[0]])
+            if getattr(f, "ndim", 0) >= 1 and f.shape[:1] == (L,) else f,
+            stash, carry,
+        )
+        carry["steps"] = steps_final  # scalar leaves fold to the stash's
+
     hostfb = carry["hostfb"] | carry["active"]  # step-bound exhaustion
     return carry["st"], carry["retier"], hostfb, carry["steps"]
 

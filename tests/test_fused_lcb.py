@@ -188,3 +188,32 @@ def test_fused_segment_boundary_stress_mesh(monkeypatch):
     got = _gff_for(seqs, names, cfg, fused=True, mesh=mesh)
     assert got == want
     assert fused_mod._seg_counter["segments"] >= 4
+
+
+def test_fused_lane_compaction_exact(monkeypatch):
+    """Active-lane compaction (round 5) is a pure permutation of
+    independent lanes: forcing aggressive compaction (tiny floor) must
+    leave the GFF byte-identical and must actually compact."""
+    from sibeliaz_tpu.lcb import fused as fused_mod
+
+    seqs, names = random_related_genomes(521, length=1200, mut=0.03,
+                                         rearrange=True)
+    cfg = Config(k=15)
+    want = _gff_for(seqs, names, cfg, fused=False)
+    monkeypatch.setenv("SZ_FUSED_COMPACT_MIN", "8")
+    # tiny segments so the phase's drain tail spans many dispatches (the
+    # production trigger is the measured 130-steps-on-9-lanes tail)
+    monkeypatch.setattr(fused_mod, "SEG_STEPS", 4)
+    monkeypatch.setattr(fused_mod, "_SEG_MAX", 4)
+    fused_mod._seg_counter["compactions"] = 0
+    got = _gff_for(seqs, names, cfg, fused=True)
+    assert got == want
+    assert fused_mod._seg_counter["compactions"] > 0, (
+        "compaction never engaged under the forced tiny floor"
+    )
+
+    monkeypatch.setenv("SZ_FUSED_COMPACT", "0")
+    fused_mod._seg_counter["compactions"] = 0
+    got_off = _gff_for(seqs, names, cfg, fused=True)
+    assert got_off == want
+    assert fused_mod._seg_counter["compactions"] == 0
