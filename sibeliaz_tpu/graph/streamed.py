@@ -823,6 +823,16 @@ def build_junctions_streamed(
             f"round bucket {n_pad} rows exceeds the 2^29 packing bound; "
             "raise n_rounds"
         )
+        if os.environ.get("SZ_STREAM_STATS"):
+            import sys as _sys
+            import time as _t2
+
+            print(
+                f"[stream-host] round {r}: n={n} n_pad={n_pad} "
+                f"pad_waste={n_pad / max(n, 1):.2f}x",
+                file=_sys.stderr, flush=True,
+            )
+            _t_round = _t2.time()
         limb_p = [np.zeros(n_pad, np.int64) for _ in range(n_limbs)]
         limb_p[0][:] = int(_INVALID_CANON)
         for i in range(n_limbs):
@@ -843,6 +853,15 @@ def build_junctions_streamed(
             )
         isj = np.asarray(isj)[:n]
         first = np.asarray(first)[:n]
+        if os.environ.get("SZ_STREAM_STATS"):
+            import sys as _sys
+            import time as _t2
+
+            print(
+                f"[stream-host] round {r}: analysis+fetch "
+                f"{_t2.time() - _t_round:.2f}s",
+                file=_sys.stderr, flush=True,
+            )
         keep = isj
         all_gpos.append(gpos[keep])
         all_first.append(first[keep])
