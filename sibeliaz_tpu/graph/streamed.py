@@ -342,15 +342,15 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
     from sibeliaz_tpu.graph.construct import unpack_codes_device
 
     if two_limb:
-        bh, bl, bp, bg, cursors, ovf0 = carry
+        bh, bl, bpg0, cursors0, ovf0 = carry
     else:
-        bc, bp, bg, cursors, ovf0 = carry
+        bc0, bpg0, cursors0, ovf0 = carry
 
     def body(ci, carry):
         if two_limb:
-            bh, bl, bp, bg, cursors, ovf = carry
+            bh, bl, bpg, cursors, ovf = carry
         else:
-            bc, bp, bg, cursors, ovf = carry
+            bc, bpg, cursors, ovf = carry
         start = 1 + ci * chunk
         pk_s = jax.lax.dynamic_slice(
             pkw, ((start - 1) >> 2,), (win // 4 + 2,)
@@ -371,21 +371,26 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
         g_rel = bucket - r0
         keep = ~invalid & (g_rel >= 0) & (g_rel < G)
         pk = packed | (positive.astype(jnp.int32) << 11)
-        if wide:
-            gpos = start.astype(jnp.int64) + local.astype(jnp.int64)
-        else:
-            gpos = start.astype(jnp.int32) + local
+        # one-int64 row payload: gpos << 12 | 12-bit evidence word (gpos
+        # < 2^32 always — larger inputs route to the host-bucketed path —
+        # so the pack needs 44 bits).  Round 5: this replaces the separate
+        # (packed int32, gpos int32/int64) buffers — one less sort operand
+        # here and in the epilogue, one less buffer append per round, and
+        # 16 B/row in BOTH payload modes (wide rows were 24), which is
+        # directly fewer input rescans per G-budget at chromosome scale.
+        gpos = start.astype(jnp.int64) + local.astype(jnp.int64)
+        bpg_row = (gpos << 12) | pk.astype(jnp.int64)
         key = jnp.where(
             keep, g_rel.astype(jnp.int32) * chunk + local,
             jnp.int32(G * chunk),
         )
         if two_limb:
-            _, h2, l2, p2, g2 = jax.lax.sort(
-                (key, ch, cl, pk, gpos), num_keys=1
+            _, h2, l2, pg2 = jax.lax.sort(
+                (key, ch, cl, bpg_row), num_keys=1
             )
             limb_sorted = (h2, l2)
         else:
-            _, c2, p2, g2 = jax.lax.sort((key, canon, pk, gpos), num_keys=1)
+            _, c2, pg2 = jax.lax.sort((key, canon, bpg_row), num_keys=1)
             limb_sorted = (c2,)
         g_kept = jnp.where(keep, g_rel, G)
         cnts = jnp.zeros(G, jnp.int64).at[
@@ -401,8 +406,7 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
             (jnp.concatenate([limb_sorted[0], pad1]),)
             + ((jnp.concatenate([limb_sorted[1], pad0]),) if two_limb else ())
         )
-        p2p = jnp.concatenate([p2, jnp.zeros(chunk, p2.dtype)])
-        g2p = jnp.concatenate([g2, jnp.zeros(chunk, g2.dtype)])
+        pg2p = jnp.concatenate([pg2, jnp.zeros(chunk, pg2.dtype)])
         lr = jnp.arange(chunk, dtype=jnp.int64)
         for g in range(G):
             live = lr < cnts[g]
@@ -418,26 +422,21 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
                 bl = jax.lax.dynamic_update_slice(bl, seg1[None, :], (g, at))
             else:
                 bc = jax.lax.dynamic_update_slice(bc, seg0[None, :], (g, at))
-            segp = jax.lax.dynamic_slice(p2p, (prefix[g],), (chunk,))
-            segg = jax.lax.dynamic_slice(g2p, (prefix[g],), (chunk,))
-            bp = jax.lax.dynamic_update_slice(
-                bp, jnp.where(live, segp, 0)[None, :], (g, at)
-            )
-            bg = jax.lax.dynamic_update_slice(
-                bg, jnp.where(live, segg, 0).astype(bg.dtype)[None, :],
-                (g, at),
+            segpg = jax.lax.dynamic_slice(pg2p, (prefix[g],), (chunk,))
+            bpg = jax.lax.dynamic_update_slice(
+                bpg, jnp.where(live, segpg, 0)[None, :], (g, at)
             )
             ovf = ovf | (cursors[g] + cnts[g] > cap - chunk)
         cursors = cursors + cnts
         if two_limb:
-            return (bh, bl, bp, bg, cursors, ovf)
-        return (bc, bp, bg, cursors, ovf)
+            return (bh, bl, bpg, cursors, ovf)
+        return (bc, bpg, cursors, ovf)
 
     return jax.lax.fori_loop(ci0, ci1, body, carry)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _round_epilogue(limbs, buf_packed, buf_gpos, wide: bool,
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _round_epilogue(limbs, buf_bpg, wide: bool,
                     two_limb: bool):
     """Class analysis + junction compaction of ONE round buffer (the tail
     of the round-3 _round_scan, as its own dispatch so round buffers from
@@ -449,11 +448,11 @@ def _round_epilogue(limbs, buf_packed, buf_gpos, wide: bool,
     that insertion rank.  The previous version scattered isj/first back
     to insertion order (two random [cap]-scatters, the dominant epilogue
     cost at chromosome scale) and then re-sorted for compaction."""
-    cap = buf_packed.shape[0]
+    cap = buf_bpg.shape[0]
     row = jnp.arange(cap, dtype=jnp.int32)
     if two_limb:
-        ch_s, cl_s, perm, packed_s, gpos_s = jax.lax.sort(
-            (limbs[0], limbs[1], row, buf_packed, buf_gpos), num_keys=3
+        ch_s, cl_s, perm, bpg_s = jax.lax.sort(
+            (limbs[0], limbs[1], row, buf_bpg), num_keys=3
         )
         seg_start = jnp.concatenate(
             [
@@ -462,15 +461,17 @@ def _round_epilogue(limbs, buf_packed, buf_gpos, wide: bool,
             ]
         )
     else:
-        ch_s, perm, packed_s, gpos_s = jax.lax.sort(
-            (limbs[0], row, buf_packed, buf_gpos), num_keys=2
+        ch_s, perm, bpg_s = jax.lax.sort(
+            (limbs[0], row, buf_bpg), num_keys=2
         )
         seg_start = jnp.concatenate(
             [jnp.ones(1, dtype=bool), ch_s[1:] != ch_s[:-1]]
         )
+    packed_s = (bpg_s & 0xFFF).astype(jnp.int32)  # 12-bit evidence word
+    gpos_s = bpg_s >> 12
     isj_s, first_s = _class_analysis_sorted(
         seg_start, ch_s == _INVALID_CANON, packed_s & 0x7FF,
-        gpos_s.astype(jnp.int64),
+        gpos_s,
     )
     out_cap = cap // 3
     key3 = jnp.where(isj_s, perm, jnp.int32(cap))
@@ -483,7 +484,7 @@ def _round_epilogue(limbs, buf_packed, buf_gpos, wide: bool,
         _, po, oo = jax.lax.sort((key3, packed_out, orient), num_keys=1)
     else:
         packed_out = (
-            (gpos_s.astype(jnp.int64) << 32)
+            (gpos_s << 32)
             | (first_s << 1)
             | orient.astype(jnp.int64)
         )
@@ -577,7 +578,7 @@ def build_junctions_streamed_resident(
     # n_rounds to ceil(n_rounds/G) at G x the round-buffer bytes (the
     # analysis working set is unchanged — epilogues consume one buffer at
     # a time).
-    row_bytes = (24 if two_limb else 16) + (8 if wide else 4)
+    row_bytes = 24 if two_limb else 16  # canon limb(s) + one bpg int64
     # 8 GB default (round 4): with the pass carry donated across segment
     # dispatches and the slim 5-chain epilogue (2.22 GB temp at a 50M-row
     # cap, was 11.07 GB with the [9, n] ladders), the AOT memory analysis
@@ -608,16 +609,14 @@ def build_junctions_streamed_resident(
                 carry = (
                     jnp.full((G, cap), _INVALID_CANON, jnp.int64),
                     jnp.zeros((G, cap), jnp.int64),
-                    jnp.zeros((G, cap), jnp.int32),
-                    jnp.zeros((G, cap), jnp.int64 if wide else jnp.int32),
+                    jnp.zeros((G, cap), jnp.int64),
                     jnp.zeros(G, jnp.int64),
                     jnp.bool_(False),
                 )
             else:
                 carry = (
                     jnp.full((G, cap), _INVALID_CANON, jnp.int64),
-                    jnp.zeros((G, cap), jnp.int32),
-                    jnp.zeros((G, cap), jnp.int64 if wide else jnp.int32),
+                    jnp.zeros((G, cap), jnp.int64),
                     jnp.zeros(G, jnp.int64),
                     jnp.bool_(False),
                 )
@@ -643,12 +642,12 @@ def build_junctions_streamed_resident(
                 overflowed = True
                 break
             limb_bufs = carry[:2] if two_limb else carry[:1]
-            bp, bg = carry[-4], carry[-3]
+            bpg = carry[-3]
             # queue the G epilogues, then fetch: buffers are consumed one
             # dispatch at a time (memory), results pipelined (latency)
             queued = [
                 _round_epilogue(
-                    tuple(lb[g] for lb in limb_bufs), bp[g], bg[g],
+                    tuple(lb[g] for lb in limb_bufs), bpg[g],
                     wide, two_limb,
                 )
                 for g in range(min(G, n_rounds - r0))
@@ -662,7 +661,7 @@ def build_junctions_streamed_resident(
                     parts.append(np.asarray(po[:n_j]))
                     if wide:
                         oparts.append(np.asarray(oo[:n_j]))
-            del carry, limb_bufs, bp, bg, queued
+            del carry, limb_bufs, bpg, queued
             if stream_stats:
                 import sys as _sys
 
