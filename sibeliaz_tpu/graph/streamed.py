@@ -408,7 +408,17 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
         )
         pg2p = jnp.concatenate([pg2, jnp.zeros(chunk, pg2.dtype)])
         lr = jnp.arange(chunk, dtype=jnp.int64)
-        for g in range(G):
+
+        # The per-round append loop runs as a lax.fori_loop so the pass
+        # body's compile size is G-INDEPENDENT: the unrolled form 500'd
+        # the remote compiler at G=9 (the old SZ_ROUNDS_PER_PASS_MAX=8
+        # ceiling), which together with row bytes set the rescan count —
+        # the measured quadratic term at the 2^32-bp contract scale.
+        def gbody(g, bufs):
+            if two_limb:
+                bh, bl, bpg, ovf = bufs
+            else:
+                bc, bpg, ovf = bufs
             live = lr < cnts[g]
             at = jnp.minimum(cursors[g], jnp.int64(cap - chunk))
             seg0 = jax.lax.dynamic_slice(limb_pad[0], (prefix[g],), (chunk,))
@@ -427,6 +437,16 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
                 bpg, jnp.where(live, segpg, 0)[None, :], (g, at)
             )
             ovf = ovf | (cursors[g] + cnts[g] > cap - chunk)
+            if two_limb:
+                return (bh, bl, bpg, ovf)
+            return (bc, bpg, ovf)
+
+        if two_limb:
+            bh, bl, bpg, ovf = jax.lax.fori_loop(
+                0, G, gbody, (bh, bl, bpg, ovf)
+            )
+        else:
+            bc, bpg, ovf = jax.lax.fori_loop(0, G, gbody, (bc, bpg, ovf))
         cursors = cursors + cnts
         if two_limb:
             return (bh, bl, bpg, cursors, ovf)
@@ -586,7 +606,10 @@ def build_junctions_streamed_resident(
     # at G=8 — inside the 15.75 GB chip.  G is additionally capped at 8:
     # the remote compiler 500s on the G=9 unrolled pass body at this cap.
     G_budget = int(os.environ.get("SZ_ROUNDS_PER_PASS_BYTES", str(8 << 30)))
-    G_cap = int(os.environ.get("SZ_ROUNDS_PER_PASS_MAX", "8"))
+    # compile size is G-independent since the fori_loop append (round 5);
+    # HBM (G_budget) is the real bound.  16 keeps the per-dispatch append
+    # chain bounded under the 60 s kill.
+    G_cap = int(os.environ.get("SZ_ROUNDS_PER_PASS_MAX", "16"))
     G = max(1, min(n_rounds, G_cap, G_budget // max(cap * row_bytes, 1)))
     # chunks per dispatch: this backend kills dispatches past ~60 s of
     # runtime; ~0.3 s/chunk-scan measured at G<=3 but ~1.0 s at G=7-8
