@@ -148,6 +148,7 @@ def census_one(name, length, n_genomes, div, n_inv, k, max_len):
     sp_equal = sp_ours_better = sp_alt_better = 0
     homology_identical = 0
     jaccards = []
+    sp_rel_deltas = []
     for bid, grp in groups:
         rows = [copy_sequence(b, seqs) for b in grp]
         if max(len(r) for r in rows) > max_len:
@@ -185,6 +186,9 @@ def census_one(name, length, n_genomes, div, n_inv, k, max_len):
                     sp_ours_better += 1
                 else:
                     sp_alt_better += 1
+                sp_rel_deltas.append(
+                    abs(spo - spa) / max(1, abs(spo))
+                )
                 ident, jac = _homology_metrics(msa, alt)
                 if ident:
                     homology_identical += 1
@@ -213,6 +217,12 @@ def census_one(name, length, n_genomes, div, n_inv, k, max_len):
             "sum_of_pairs_equal": sp_equal,
             "sum_of_pairs_ours_better": sp_ours_better,
             "sum_of_pairs_alt_better": sp_alt_better,
+            "sp_rel_delta_mean": round(
+                float(np.mean(sp_rel_deltas)), 6
+            ) if sp_rel_deltas else None,
+            "sp_rel_delta_max": round(
+                float(np.max(sp_rel_deltas)), 6
+            ) if sp_rel_deltas else None,
             "pairwise_homologies_identical": homology_identical,
             "homology_jaccard_mean": round(
                 float(np.mean(jaccards)), 5
