@@ -279,6 +279,24 @@ def _round_analysis2(ch, cl, packed, gpos):
 #     across rounds (identical to the monolithic kernel's numbering).
 # ---------------------------------------------------------------------------
 
+def _split64(x):
+    """int64 -> (lo u32, hi u32).  The backend's X64 rewriter materializes
+    a SplitLow/SplitHigh u32 TEMP pair for every int64 array crossing a
+    dispatch boundary — for the multi-GB round-buffer carry that DOUBLES
+    its effective HBM cost (measured 21.2 GB at a nominal 8.9 GB plan).
+    Keeping the carry as explicit u32 pairs sidesteps the tax; values are
+    reassembled only inside the consuming dispatch (chunk- or one-round-
+    sized temporaries).  All packed values here are non-negative."""
+    return (
+        (x & 0xFFFFFFFF).astype(jnp.uint32),
+        (x >> 32).astype(jnp.uint32),
+    )
+
+
+def _join64(lo, hi):
+    return (hi.astype(jnp.int64) << 32) | lo.astype(jnp.int64)
+
+
 # numpy, NOT jnp (device-constant lowering fetch; see construct._INVALID_CANON)
 _MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as two's compl.
 
@@ -341,16 +359,15 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
     win = 1 + chunk + k + 1
     from sibeliaz_tpu.graph.construct import unpack_codes_device
 
-    if two_limb:
-        bh, bl, bpg0, cursors0, ovf0 = carry
-    else:
-        bc0, bpg0, cursors0, ovf0 = carry
+    # carry layout: u32 lo/hi pairs per logical int64 buffer (see _split64)
+    #   single-limb: (c_lo, c_hi, pg_lo, pg_hi, cursors, ovf)
+    #   two-limb:    (h_lo, h_hi, l_lo, l_hi, pg_lo, pg_hi, cursors, ovf)
 
     def body(ci, carry):
         if two_limb:
-            bh, bl, bpg, cursors, ovf = carry
+            bh_lo, bh_hi, bl_lo, bl_hi, pg_lo, pg_hi, cursors, ovf = carry
         else:
-            bc, bpg, cursors, ovf = carry
+            bc_lo, bc_hi, pg_lo, pg_hi, cursors, ovf = carry
         start = 1 + ci * chunk
         pk_s = jax.lax.dynamic_slice(
             pkw, ((start - 1) >> 2,), (win // 4 + 2,)
@@ -414,11 +431,21 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
         # the remote compiler at G=9 (the old SZ_ROUNDS_PER_PASS_MAX=8
         # ceiling), which together with row bytes set the rescan count —
         # the measured quadratic term at the 2^32-bp contract scale.
+        def upd2(lo_buf, hi_buf, vals, g, at):
+            vlo, vhi = _split64(vals)
+            lo_buf = jax.lax.dynamic_update_slice(
+                lo_buf, vlo[None, :], (g, at)
+            )
+            hi_buf = jax.lax.dynamic_update_slice(
+                hi_buf, vhi[None, :], (g, at)
+            )
+            return lo_buf, hi_buf
+
         def gbody(g, bufs):
             if two_limb:
-                bh, bl, bpg, ovf = bufs
+                bh_lo, bh_hi, bl_lo, bl_hi, pg_lo, pg_hi, ovf = bufs
             else:
-                bc, bpg, ovf = bufs
+                bc_lo, bc_hi, pg_lo, pg_hi, ovf = bufs
             live = lr < cnts[g]
             at = jnp.minimum(cursors[g], jnp.int64(cap - chunk))
             seg0 = jax.lax.dynamic_slice(limb_pad[0], (prefix[g],), (chunk,))
@@ -428,35 +455,40 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
                     limb_pad[1], (prefix[g],), (chunk,)
                 )
                 seg1 = jnp.where(live, seg1, 0)
-                bh = jax.lax.dynamic_update_slice(bh, seg0[None, :], (g, at))
-                bl = jax.lax.dynamic_update_slice(bl, seg1[None, :], (g, at))
+                bh_lo, bh_hi = upd2(bh_lo, bh_hi, seg0, g, at)
+                bl_lo, bl_hi = upd2(bl_lo, bl_hi, seg1, g, at)
             else:
-                bc = jax.lax.dynamic_update_slice(bc, seg0[None, :], (g, at))
+                bc_lo, bc_hi = upd2(bc_lo, bc_hi, seg0, g, at)
             segpg = jax.lax.dynamic_slice(pg2p, (prefix[g],), (chunk,))
-            bpg = jax.lax.dynamic_update_slice(
-                bpg, jnp.where(live, segpg, 0)[None, :], (g, at)
+            pg_lo, pg_hi = upd2(
+                pg_lo, pg_hi, jnp.where(live, segpg, 0), g, at
             )
             ovf = ovf | (cursors[g] + cnts[g] > cap - chunk)
             if two_limb:
-                return (bh, bl, bpg, ovf)
-            return (bc, bpg, ovf)
+                return (bh_lo, bh_hi, bl_lo, bl_hi, pg_lo, pg_hi, ovf)
+            return (bc_lo, bc_hi, pg_lo, pg_hi, ovf)
 
         if two_limb:
-            bh, bl, bpg, ovf = jax.lax.fori_loop(
-                0, G, gbody, (bh, bl, bpg, ovf)
+            bh_lo, bh_hi, bl_lo, bl_hi, pg_lo, pg_hi, ovf = (
+                jax.lax.fori_loop(
+                    0, G, gbody,
+                    (bh_lo, bh_hi, bl_lo, bl_hi, pg_lo, pg_hi, ovf),
+                )
             )
         else:
-            bc, bpg, ovf = jax.lax.fori_loop(0, G, gbody, (bc, bpg, ovf))
+            bc_lo, bc_hi, pg_lo, pg_hi, ovf = jax.lax.fori_loop(
+                0, G, gbody, (bc_lo, bc_hi, pg_lo, pg_hi, ovf)
+            )
         cursors = cursors + cnts
         if two_limb:
-            return (bh, bl, bpg, cursors, ovf)
-        return (bc, bpg, cursors, ovf)
+            return (bh_lo, bh_hi, bl_lo, bl_hi, pg_lo, pg_hi, cursors, ovf)
+        return (bc_lo, bc_hi, pg_lo, pg_hi, cursors, ovf)
 
     return jax.lax.fori_loop(ci0, ci1, body, carry)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _round_epilogue(limbs, buf_bpg, wide: bool,
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _round_epilogue(bufs, wide: bool,
                     two_limb: bool):
     """Class analysis + junction compaction of ONE round buffer (the tail
     of the round-3 _round_scan, as its own dispatch so round buffers from
@@ -468,6 +500,15 @@ def _round_epilogue(limbs, buf_bpg, wide: bool,
     that insertion rank.  The previous version scattered isj/first back
     to insertion order (two random [cap]-scatters, the dominant epilogue
     cost at chromosome scale) and then re-sorted for compaction."""
+    # bufs = u32 lo/hi pairs (canon limb(s), then bpg); reassemble the
+    # int64 values inside this dispatch — one-round-sized temporaries,
+    # not carry-sized (see _split64)
+    if two_limb:
+        limbs = (_join64(bufs[0], bufs[1]), _join64(bufs[2], bufs[3]))
+        buf_bpg = _join64(bufs[4], bufs[5])
+    else:
+        limbs = (_join64(bufs[0], bufs[1]),)
+        buf_bpg = _join64(bufs[2], bufs[3])
     cap = buf_bpg.shape[0]
     row = jnp.arange(cap, dtype=jnp.int32)
     if two_limb:
@@ -628,18 +669,22 @@ def build_junctions_streamed_resident(
         oparts = []
         overflowed = False
         for r0 in range(0, n_rounds, G):
+            inv_lo = np.uint32(int(_INVALID_CANON) & 0xFFFFFFFF)
+            inv_hi = np.uint32(int(_INVALID_CANON) >> 32)
+            z = lambda: jnp.zeros((G, cap), jnp.uint32)
             if two_limb:
                 carry = (
-                    jnp.full((G, cap), _INVALID_CANON, jnp.int64),
-                    jnp.zeros((G, cap), jnp.int64),
-                    jnp.zeros((G, cap), jnp.int64),
+                    jnp.full((G, cap), inv_lo, jnp.uint32),
+                    jnp.full((G, cap), inv_hi, jnp.uint32),
+                    z(), z(), z(), z(),
                     jnp.zeros(G, jnp.int64),
                     jnp.bool_(False),
                 )
             else:
                 carry = (
-                    jnp.full((G, cap), _INVALID_CANON, jnp.int64),
-                    jnp.zeros((G, cap), jnp.int64),
+                    jnp.full((G, cap), inv_lo, jnp.uint32),
+                    jnp.full((G, cap), inv_hi, jnp.uint32),
+                    z(), z(),
                     jnp.zeros(G, jnp.int64),
                     jnp.bool_(False),
                 )
@@ -664,14 +709,12 @@ def build_junctions_streamed_resident(
             if ovf_now:  # cursor overflow in some round buffer
                 overflowed = True
                 break
-            limb_bufs = carry[:2] if two_limb else carry[:1]
-            bpg = carry[-3]
+            bufs = carry[:-2]  # u32 lo/hi pairs (see _round_scan_pass)
             # queue the G epilogues, then fetch: buffers are consumed one
             # dispatch at a time (memory), results pipelined (latency)
             queued = [
                 _round_epilogue(
-                    tuple(lb[g] for lb in limb_bufs), bpg[g],
-                    wide, two_limb,
+                    tuple(b[g] for b in bufs), wide, two_limb,
                 )
                 for g in range(min(G, n_rounds - r0))
             ]
@@ -684,7 +727,7 @@ def build_junctions_streamed_resident(
                     parts.append(np.asarray(po[:n_j]))
                     if wide:
                         oparts.append(np.asarray(oo[:n_j]))
-            del carry, limb_bufs, bpg, queued
+            del carry, bufs, queued
             if stream_stats:
                 import sys as _sys
 
