@@ -170,31 +170,38 @@ def run_config(name):
         rng = np.random.default_rng(11)
         from sibeliaz_tpu.core import alphabet
 
-        CH = 1 << 26
-        anc = np.empty(L, np.uint8)
-        for lo in range(0, L, CH):
-            hi = min(lo + CH, L)
-            anc[lo:hi] = alphabet.decode(
-                rng.integers(0, 4, size=hi - lo, dtype=np.int64).astype(
-                    np.uint8
-                )
-            )
-        seqs, names = [], []
-        for g in range(2):
-            s = anc.copy()
+        cache = os.environ.get("SZ_CONTRACT_CACHE")
+        seqs, names = [], [f"G{g + 1}.C1" for g in range(2)]
+        if cache and os.path.exists(cache + ".0.npy"):
+            seqs = [np.load(f"{cache}.{g}.npy", mmap_mode=None)
+                    for g in range(2)]
+        else:
+            CH = 1 << 26
+            anc = np.empty(L, np.uint8)
             for lo in range(0, L, CH):
                 hi = min(lo + CH, L)
-                pos = lo + np.flatnonzero(
-                    rng.random(hi - lo) < 0.01
-                ).astype(np.int64)
-                s[pos] = alphabet.decode(
-                    rng.integers(0, 4, size=len(pos), dtype=np.int64).astype(
+                anc[lo:hi] = alphabet.decode(
+                    rng.integers(0, 4, size=hi - lo, dtype=np.int64).astype(
                         np.uint8
                     )
                 )
-            seqs.append(s)
-            names.append(f"G{g + 1}.C1")
-        del anc
+            for g in range(2):
+                s = anc.copy()
+                for lo in range(0, L, CH):
+                    hi = min(lo + CH, L)
+                    pos = lo + np.flatnonzero(
+                        rng.random(hi - lo) < 0.01
+                    ).astype(np.int64)
+                    s[pos] = alphabet.decode(
+                        rng.integers(
+                            0, 4, size=len(pos), dtype=np.int64
+                        ).astype(np.uint8)
+                    )
+                seqs.append(s)
+            del anc
+            if cache:
+                for g in range(2):
+                    np.save(f"{cache}.{g}.npy", seqs[g])
         cfg = Config(k=25, threads=threads)
         t_g = time.time()
         records = construct.build_junctions(seqs, cfg.k)
