@@ -432,12 +432,16 @@ def _round_scan_pass(pkw, nmw, r0, n_rounds, ci0, ci1, carry,
         # ceiling), which together with row bytes set the rescan count —
         # the measured quadratic term at the 2^32-bp contract scale.
         def upd2(lo_buf, hi_buf, vals, g, at):
+            # buffers are FLAT [G*cap]: a [G, cap] u32 array tiles its
+            # leading dim to multiples of 8 on TPU (AOT-measured: [10,cap]
+            # allocates the same 2.75 GiB as [16,cap]; flat is exact),
+            # and that padding OOMed the contract run at G=10
             vlo, vhi = _split64(vals)
             lo_buf = jax.lax.dynamic_update_slice(
-                lo_buf, vlo[None, :], (g, at)
+                lo_buf, vlo, (g * cap + at,)
             )
             hi_buf = jax.lax.dynamic_update_slice(
-                hi_buf, vhi[None, :], (g, at)
+                hi_buf, vhi, (g * cap + at,)
             )
             return lo_buf, hi_buf
 
@@ -671,19 +675,20 @@ def build_junctions_streamed_resident(
         for r0 in range(0, n_rounds, G):
             inv_lo = np.uint32(int(_INVALID_CANON) & 0xFFFFFFFF)
             inv_hi = np.uint32(int(_INVALID_CANON) >> 32)
-            z = lambda: jnp.zeros((G, cap), jnp.uint32)
+            # flat [G*cap] u32 (2-D would pad the G axis to 8, see upd2)
+            z = lambda: jnp.zeros(G * cap, jnp.uint32)
             if two_limb:
                 carry = (
-                    jnp.full((G, cap), inv_lo, jnp.uint32),
-                    jnp.full((G, cap), inv_hi, jnp.uint32),
+                    jnp.full(G * cap, inv_lo, jnp.uint32),
+                    jnp.full(G * cap, inv_hi, jnp.uint32),
                     z(), z(), z(), z(),
                     jnp.zeros(G, jnp.int64),
                     jnp.bool_(False),
                 )
             else:
                 carry = (
-                    jnp.full((G, cap), inv_lo, jnp.uint32),
-                    jnp.full((G, cap), inv_hi, jnp.uint32),
+                    jnp.full(G * cap, inv_lo, jnp.uint32),
+                    jnp.full(G * cap, inv_hi, jnp.uint32),
                     z(), z(),
                     jnp.zeros(G, jnp.int64),
                     jnp.bool_(False),
@@ -709,12 +714,16 @@ def build_junctions_streamed_resident(
             if ovf_now:  # cursor overflow in some round buffer
                 overflowed = True
                 break
-            bufs = carry[:-2]  # u32 lo/hi pairs (see _round_scan_pass)
+            bufs = carry[:-2]  # flat u32 lo/hi pairs (see _round_scan_pass)
             # queue the G epilogues, then fetch: buffers are consumed one
             # dispatch at a time (memory), results pipelined (latency)
             queued = [
                 _round_epilogue(
-                    tuple(b[g] for b in bufs), wide, two_limb,
+                    tuple(
+                        jax.lax.dynamic_slice(b, (g * cap,), (cap,))
+                        for b in bufs
+                    ),
+                    wide, two_limb,
                 )
                 for g in range(min(G, n_rounds - r0))
             ]
