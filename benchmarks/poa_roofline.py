@@ -53,13 +53,7 @@ def main():
     rng = np.random.default_rng(12)
     n_max = -(-int(L * 1.5) // tpu_poa._TILE) * tpu_poa._TILE
 
-    seq_b = np.zeros((B, L), dtype=np.uint8)
-    len_b = np.zeros(B, dtype=np.int32)
-    char_b = np.zeros((B, n_max), dtype=np.uint8)
-    pi_b = np.full((B, n_max, tpu_poa.MAX_PREDS), n_max, dtype=np.int32)
-    po_b = np.zeros((B, n_max, tpu_poa.MAX_PREDS), dtype=bool)
-    sink_b = np.zeros((B, n_max), dtype=bool)
-    n_nodes = []
+    exs, plans, n_nodes, last = [], [], [], []
     for b in range(B):
         src = alphabet.decode(rng.integers(0, 4, size=L).astype(np.uint8))
         copies = []
@@ -74,41 +68,73 @@ def main():
             g.add_sequence(r)  # thread C-2 copies: realistic graph width
         ex = tpu_poa._extract_arrays(g, n_max)
         assert ex is not None, "node budget too small for this divergence"
-        _, nc, pi, po, sk = ex
         n_nodes.append(len(g.topo_nodes()))
-        seq_b[b] = copies[-1]
-        len_b[b] = L
-        char_b[b] = nc
-        pi_b[b] = pi
-        po_b[b] = po
-        sink_b[b] = sk
+        exs.append(ex)
+        last.append(copies[-1])
+        # certificate band for the final copy (band_S=None -> pass-1 guess)
+        plans.append(tpu_poa._plan_windows(ex, L, L, n_max, None))
 
-    P = L + n_max + 2
-    args = (
-        jnp.asarray(seq_b), jnp.asarray(len_b), jnp.asarray(char_b),
-        jnp.asarray(pi_b), jnp.asarray(po_b), jnp.asarray(sink_b),
-    )
-
-    def run():
-        out = tpu_poa._dp_tb_batch(*args, n_max, P)
-        # block_until_ready does NOT await remote execution on this
-        # environment's tunneled backend (measured: sub-ms "completion" of
-        # a 33M-cell DP); a real value fetch is the only reliable sync
-        np.asarray(out[2])
-
-    run()  # compile
-    t = best_time(run)
-
-    useful_cells = int(sum(n_nodes)) * (L + 1)
-    padded_cells = B * n_max * (L + 1)
-    cells_s = useful_cells / t
     bound = HBM_GBPS * 1e9 / BYTES_PER_CELL
-    print(
-        f"[poa-roofline] B={B} L={L} C={C} n_max={n_max} "
-        f"nodes={n_nodes} t={t * 1e3:.1f}ms "
-        f"useful={useful_cells / 1e6:.1f}M padded={padded_cells / 1e6:.1f}M",
-        file=sys.stderr,
-    )
+    results = {}
+    # both modes run through the same production kernel: "full" is the
+    # banding-disabled case (off=0, W=L+1); "banded" uses the certificate
+    # windows the production path plans (pass-1 width)
+    for mode in ("full", "banded"):
+        if mode == "full":
+            W = L + 1
+            offs = [np.zeros(n_max + 1, np.int32) for _ in range(B)]
+        else:
+            W = min(
+                max(
+                    128,
+                    1 << (int(max(p[1] for p in plans)) - 1).bit_length(),
+                ),
+                L + 1,
+            )
+            offs = [p[0] for p in plans]
+        seq_b = np.zeros((B, L + 1 + W), dtype=np.uint8)
+        len_b = np.full(B, L, dtype=np.int32)
+        char_b = np.zeros((B, n_max), dtype=np.uint8)
+        pi_b = np.full((B, n_max, tpu_poa.MAX_PREDS), n_max, dtype=np.int32)
+        po_b = np.zeros((B, n_max, tpu_poa.MAX_PREDS), dtype=bool)
+        sink_b = np.zeros((B, n_max), dtype=bool)
+        off_b = np.zeros((B, n_max + 1), dtype=np.int32)
+        for b in range(B):
+            _, nc, pi, po, sk = exs[b]
+            seq_b[b, 1 : 1 + L] = last[b]
+            char_b[b] = nc
+            pi_b[b] = pi
+            po_b[b] = po
+            sink_b[b] = sk
+            off_b[b] = offs[b]
+        P = L + n_max + 2
+        args = (
+            jnp.asarray(seq_b), jnp.asarray(len_b), jnp.asarray(char_b),
+            jnp.asarray(pi_b), jnp.asarray(po_b), jnp.asarray(sink_b),
+        )
+        off_d = jnp.asarray(off_b)
+
+        def run():
+            out = tpu_poa._dp_tb_batch(*args, n_max, W, P, off_d)
+            # block_until_ready does NOT await remote execution on this
+            # environment's tunneled backend (measured: sub-ms "completion"
+            # of a 33M-cell DP); a real value fetch is the only reliable
+            # sync
+            np.asarray(out[2])
+
+        run()  # compile
+        t = best_time(run)
+        useful = int(sum(n_nodes)) * (L + 1 if mode == "full" else W)
+        padded = B * n_max * (W if mode != "full" else L + 1)
+        results[mode] = {"t": t, "W": W, "useful": useful, "padded": padded}
+        print(
+            f"[poa-roofline] mode={mode} B={B} L={L} C={C} n_max={n_max} "
+            f"W={W} t={t * 1e3:.1f}ms useful={useful / 1e6:.1f}M "
+            f"padded={padded / 1e6:.1f}M",
+            file=sys.stderr,
+        )
+    t = results["banded"]["t"]
+    cells_s = results["banded"]["useful"] / t
     print(
         json.dumps(
             {
@@ -117,10 +143,13 @@ def main():
                 "unit": "Mcells_per_s",
                 "hbm_model_bound_Mcells_per_s": round(bound / 1e6, 1),
                 "fraction_of_bound": round(cells_s / bound, 4),
-                "padded_fraction_of_bound": round(
-                    padded_cells / t / bound, 4
-                ),
                 "dispatch_ms": round(t * 1e3, 2),
+                "band_W": results["banded"]["W"],
+                "full_W": results["full"]["W"],
+                "full_dispatch_ms": round(results["full"]["t"] * 1e3, 2),
+                "band_speedup_vs_full": round(
+                    results["full"]["t"] / t, 2
+                ),
             }
         )
     )
