@@ -46,8 +46,10 @@ class PoaGraph:
         self.group_of: List[int] = []
         self.groups: List[List[int]] = []
         self.paths: List[List[int]] = []
+        self._topo_cache: Optional[List[int]] = None
 
     def _new_node(self, ch: int, group: Optional[int]) -> int:
+        self._topo_cache = None
         nid = len(self.char)
         self.char.append(ch)
         self.preds.append([])
@@ -60,6 +62,7 @@ class PoaGraph:
         return nid
 
     def _add_edge(self, u: int, v: int) -> None:
+        self._topo_cache = None
         if u not in self.preds[v]:
             self.preds[v].append(u)
             self.succs[u].append(v)
@@ -77,7 +80,15 @@ class PoaGraph:
 
     def topo_groups(self) -> List[int]:
         """Group ids in topological order (group ready when every member's
-        predecessors are all in already-emitted groups); ties by group id."""
+        predecessors are all in already-emitted groups); ties by group id.
+
+        The heap order is byte-semantic (it is the MSA column order), so
+        it is computed exactly and CACHED between graph mutations — the
+        device engine re-reads the topology once per threading round, and
+        the Python Kahn pass was its largest remaining host term.  The
+        cached list is shared; callers must not mutate it."""
+        if self._topo_cache is not None:
+            return self._topo_cache
         n_groups = len(self.groups)
         indeg = [0] * n_groups
         emitted = [False] * len(self.char)
@@ -106,6 +117,7 @@ class PoaGraph:
                         seen.add(gv)
         if len(order) != n_groups:
             raise RuntimeError("POA graph has a cycle")
+        self._topo_cache = order
         return order
 
     def topo_nodes(self) -> List[int]:
@@ -241,27 +253,58 @@ class PoaGraph:
         return aln
 
     def add_alignment(self, aln, seq) -> None:
+        n = len(aln)
+        nids = np.fromiter(
+            (x if x is not None else -1 for x, _ in aln), np.int64, n
+        )
+        iis = np.fromiter(
+            (x if x is not None else -1 for _, x in aln), np.int64, n
+        )
+        self.add_alignment_arrays(nids, iis, seq)
+
+    def add_alignment_arrays(self, nids, iis, seq) -> None:
+        """add_alignment over int64 arrays with -1 as the None sentinel —
+        the same decision procedure, restructured so the ~97%-of-rows
+        common case (aligned to an existing node with a matching char)
+        runs as list ops on pre-extracted locals instead of attribute
+        lookups.  Exactness note: every per-row decision depends only on
+        the PRE-call graph state — a traceback path visits each column
+        group at most once (groups are topologically ordered and edges
+        connect distinct groups), so nodes created for earlier rows of
+        this same alignment are never group-search candidates for later
+        rows."""
+        char = self.char
+        groups = self.groups
+        group_of = self.group_of
+        preds = self.preds
+        succs = self.succs
+        keep = iis >= 0  # deletion rows contribute nothing
+        kn = nids[keep].tolist()
+        if isinstance(seq, (bytes, bytearray)):
+            seq_np = np.frombuffer(bytes(seq), dtype=np.uint8)
+        else:
+            seq_np = np.asarray(seq)
+        kch = seq_np[iis[keep]].astype(np.int64).tolist()
         prev = None
         path: List[int] = []
-        for nid, i in aln:
-            if i is None:
-                continue  # deletion: nothing for this sequence
-            ch = int(seq[i])
-            if nid is not None:
-                if self.char[nid] == ch:
+        for nid, ch in zip(kn, kch):
+            if nid >= 0:
+                if char[nid] == ch:
                     node = nid
                 else:
                     node = None
-                    for cand in self.groups[self.group_of[nid]]:
-                        if self.char[cand] == ch:
+                    for cand in groups[group_of[nid]]:
+                        if char[cand] == ch:
                             node = cand
                             break
                     if node is None:
-                        node = self._new_node(ch, self.group_of[nid])
+                        node = self._new_node(ch, group_of[nid])
             else:
                 node = self._new_node(ch, None)
-            if prev is not None:
-                self._add_edge(prev, node)
+            if prev is not None and prev not in preds[node]:
+                self._topo_cache = None
+                preds[node].append(prev)
+                succs[prev].append(node)
             path.append(node)
             prev = node
         self.paths.append(path)
@@ -274,14 +317,17 @@ class PoaGraph:
 
     def msa(self) -> List[bytes]:
         order = self.topo_groups()
-        col = {g: c for c, g in enumerate(order)}
         ncols = len(order)
+        col_of_group = np.zeros(len(self.groups), dtype=np.int64)
+        col_of_group[np.asarray(order, dtype=np.int64)] = np.arange(ncols)
+        col_of_node = col_of_group[np.asarray(self.group_of, dtype=np.int64)]
+        char_arr = np.asarray(self.char, dtype=np.uint8)
         rows = []
         for path in self.paths:
-            row = bytearray(b"-" * ncols)
-            for nid in path:
-                row[col[self.group_of[nid]]] = self.char[nid]
-            rows.append(bytes(row))
+            p = np.asarray(path, dtype=np.int64)
+            row = np.full(ncols, ord("-"), dtype=np.uint8)
+            row[col_of_node[p]] = char_arr[p]
+            rows.append(row.tobytes())
         return rows
 
 
