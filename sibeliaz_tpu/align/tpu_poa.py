@@ -695,9 +695,20 @@ def _run_bucket(states: List[_BlockState], members: List[int], L: int,
             dev(pi_b), dev(po_b), dev(sink_b),
             n_max, W, P, dev(off_b),
         )
-        out_r = np.asarray(out_r)
-        out_i = np.asarray(out_i)
+        # fetch the traceback registers only up to the longest USED path:
+        # P = L + n_max + 2 rows are allocated but paths use ~L(1+overlap)
+        # of them, and this tunnel moves 14-50 MB/s — the full [B, P]
+        # int32 pair was multiple seconds of d2h at the 128k bucket.  The
+        # device slice is pow2-bucketed so its compiled shapes stay few.
         tcount = np.asarray(tcount)
+        t_used = int(tcount.max()) if tcount.size else 0
+        if 0 < t_used < P:
+            T_pad = min(P, _round_pow2(t_used, 128))
+            out_r = np.asarray(out_r[:, :T_pad])
+            out_i = np.asarray(out_i[:, :T_pad])
+        else:
+            out_r = np.asarray(out_r)
+            out_i = np.asarray(out_i)
         best_sc = np.asarray(best_sc)
         _STATS["device_s"] += _time.time() - t0
         _STATS["dispatches"] += 1
