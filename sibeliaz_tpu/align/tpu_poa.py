@@ -472,16 +472,36 @@ def device_budget_eligible(
     node_budget_factor: float = 1.75,
     budget_bytes: Optional[int] = None,
 ) -> List[bool]:
-    """Per block: does its (L, n_max) bucket fit the device scratch
-    budget at the ESTIMATED band width?  The same routing test
-    poa_msa_batch_tpu applies up front — callers can schedule ineligible
-    blocks on the native engine CONCURRENTLY with the device dispatches
-    instead of serially after them (the native redo was ~40% of the
-    device-engine wall time on the examples-full-maf config)."""
+    """Per block: should the scheduler run it on the device engine?
+
+    Two tests, both bucket-aware; callers schedule ineligible blocks on
+    the native engine CONCURRENTLY with the device dispatches instead of
+    serially after them (the native redo was ~40% of the device-engine
+    wall time on the examples-full-maf config):
+
+    * memory: the (L, n_max) bucket's H + dirs scratch at the ESTIMATED
+      band width must fit the device budget (poa_msa_batch_tpu re-checks
+      with the real band), and
+    * latency: the DP's lax.scan walks n_max/_TILE topo steps strictly
+      serially, and this backend executes a scan step in ~SZ_POA_STEP_MS
+      (measured 0.34 ms — warm == cold at 9.7 s/dispatch for a 229k-rank
+      bucket, matching 28.7k steps x 0.34 ms).  A dispatch's cost is
+      shared by every bucket member, so the unit economics are
+      ms-per-threaded-copy = steps x STEP_MS / members; buckets above
+      SZ_POA_DEVICE_MS_PER_COPY (default 60 ms — the native engine's
+      per-copy ballpark) route native.  Long-DAG blocks are therefore
+      latency-excluded on this backend no matter how small the band —
+      the same ~ms serial-step floor that bounds the fused LCB engine."""
     hbm_budget = HBM_BUDGET if budget_bytes is None else max(
         64 << 20, budget_bytes // 3
     )
-    out = []
+    step_ms = float(_os.environ.get("SZ_POA_STEP_MS", "0.34"))
+    ms_per_copy_cap = float(
+        _os.environ.get("SZ_POA_DEVICE_MS_PER_COPY", "60")
+    )
+    fits = []
+    Ls = []
+    members: dict = {}
     for seqs in blocks_seqs:
         lens = [len(s) for s in seqs]
         max_len = max(lens)
@@ -491,9 +511,18 @@ def device_budget_eligible(
             west = _west_estimate(L, max_len - min(lens))
         else:
             west = max_len + 1  # unbanded runs at its own width
-        out.append(
-            _per_block_bytes(min(west, L + 1), n_max) <= hbm_budget
-        )
+        ok = _per_block_bytes(min(west, L + 1), n_max) <= hbm_budget
+        fits.append(ok)
+        Ls.append(L)
+        if ok:
+            members[L] = members.get(L, 0) + 1
+    out = []
+    for ok, L in zip(fits, Ls):
+        if ok and ms_per_copy_cap > 0:
+            n_max = _n_max_for(L, node_budget_factor)
+            disp_ms = (n_max / _TILE) * step_ms
+            ok = disp_ms / max(members.get(L, 1), 1) <= ms_per_copy_cap
+        out.append(ok)
     return out
 
 
